@@ -1,0 +1,112 @@
+"""Brute-force Hamming descriptor matching with reference filter semantics.
+
+TPU-native replacement for ``cv::DescriptorMatcher "BruteForce-Hamming"``
+and ``ORB_Robust_Find_MuliImage_MatchedFeatures``
+(``/root/reference/src/tracking.cpp:534-581``).
+
+The N x M Hamming distance matrix is computed in one shot: XOR the packed
+uint32 descriptor words and popcount with the SWAR bit trick — pure VPU
+integer ops, no data-dependent shapes. Matching (argmin per row), the
+``dist <= max(2*min_dist, 30)`` gate, the two-view consistency (a t1L
+feature must survive both the stereo and the temporal matching), and the
+stereo epipolar |Δy| gate all become masked tensor ops.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(1 << 30)
+
+
+def popcount_u32(x: jax.Array) -> jax.Array:
+    """SWAR popcount for uint32 arrays."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
+                   valid_a: jax.Array | None = None,
+                   valid_b: jax.Array | None = None) -> jax.Array:
+    """(N, W) x (M, W) packed-uint32 descriptors -> (N, M) int32 distances.
+
+    Invalid rows/cols get a large sentinel distance so they never match.
+    """
+    x = desc_a[:, None, :] ^ desc_b[None, :, :]  # (N, M, W)
+    d = jnp.sum(popcount_u32(x), axis=-1)
+    if valid_a is not None:
+        d = jnp.where(valid_a[:, None], d, _BIG)
+    if valid_b is not None:
+        d = jnp.where(valid_b[None, :], d, _BIG)
+    return d
+
+
+def match_best(dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row best match: (N,) target index and (N,) distance."""
+    idx = jnp.argmin(dist, axis=1)
+    best = jnp.take_along_axis(dist, idx[:, None], axis=1)[:, 0]
+    return idx.astype(jnp.int32), best
+
+
+def mutual_mask(dist: jax.Array, idx_ab: jax.Array) -> jax.Array:
+    """Cross-check: row i's best column's best row must be i."""
+    idx_ba = jnp.argmin(dist, axis=0).astype(jnp.int32)  # best row per column
+    n = dist.shape[0]
+    back = idx_ba[idx_ab]
+    return back == jnp.arange(n, dtype=jnp.int32)
+
+
+def reference_distance_gate(best: jax.Array, valid: jax.Array,
+                            floor: float = 30.0, ratio: float = 2.0) -> jax.Array:
+    """``dist <= max(ratio * min_dist, floor)`` over the valid matches —
+    the reference's adaptive threshold (``tracking.cpp:549-577``)."""
+    min_dist = jnp.min(jnp.where(valid, best, _BIG))
+    thr = jnp.maximum(ratio * min_dist.astype(jnp.float32), floor)
+    return valid & (best.astype(jnp.float32) <= thr)
+
+
+def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
+                          feature_match_error: float = 2.0,
+                          dist_floor: float = 30.0, dist_ratio: float = 2.0,
+                          use_mutual: bool = True):
+    """The reference's two-matching association for the ORB pipeline.
+
+    match1 = t1L <-> t1R (stereo), match2 = t1L <-> t2L (temporal)
+    (``tracking.cpp:543-544``). A t1L feature survives iff it passes the
+    adaptive distance gate in BOTH matchings and the stereo pair satisfies
+    |Δy| < feature_match_error (``tracking.cpp:564-577``). ``use_mutual``
+    adds a cross-check the reference implicitly relied on BFMatcher for.
+
+    Args:
+      feat_*: dicts from ``orb.detect_and_describe`` (xy, desc, valid).
+    Returns:
+      dict(idx_r, idx_t2l (N,) int32 target indices; valid (N,) bool) —
+      fixed-size, indexed by t1L slots.
+    """
+    d_st = hamming_matrix(feat_t1l["desc"], feat_t1r["desc"],
+                          feat_t1l["valid"], feat_t1r["valid"])
+    d_tm = hamming_matrix(feat_t1l["desc"], feat_t2l["desc"],
+                          feat_t1l["valid"], feat_t2l["valid"])
+
+    idx_r, best_st = match_best(d_st)
+    idx_t, best_tm = match_best(d_tm)
+
+    v = feat_t1l["valid"] & (best_st < _BIG) & (best_tm < _BIG)
+    if use_mutual:
+        v = v & mutual_mask(d_st, idx_r) & mutual_mask(d_tm, idx_t)
+    v = reference_distance_gate(best_st, v, dist_floor, dist_ratio) & \
+        reference_distance_gate(best_tm, v, dist_floor, dist_ratio)
+
+    # Stereo epipolar gate on the matched right feature.
+    y_l = feat_t1l["xy"][:, 1]
+    y_r = feat_t1r["xy"][idx_r, 1]
+    v = v & (jnp.abs(y_l - y_r) < feature_match_error)
+    # Positive disparity (right image feature to the left of the left's).
+    x_l = feat_t1l["xy"][:, 0]
+    x_r = feat_t1r["xy"][idx_r, 0]
+    v = v & (x_l - x_r > 0.0)
+
+    return {"idx_r": idx_r, "idx_t2l": idx_t, "valid": v,
+            "dist_stereo": best_st, "dist_temporal": best_tm}

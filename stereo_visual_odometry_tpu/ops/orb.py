@@ -1,0 +1,176 @@
+"""ORB: oriented FAST keypoints + rotated-BRIEF binary descriptors, batched.
+
+TPU-native replacement for the reference's ``ORBextractor`` (ORB-SLAM2
+lineage, ``/root/reference/src/ORBextractor.cpp``): scale pyramid
+(``ComputePyramid``, :1061-1085), per-cell FAST with high/low thresholds
+(``ComputeKeyPointsOctTree``, :737-782), quadtree NMS (``DistributeOctTree``,
+:487-715), intensity-centroid orientation (``IC_Angle``, :21-48), and the
+256-pair rotated BRIEF descriptor (``computeOrbDescriptor``, :51-97).
+
+Design differences, chosen for the hardware (SURVEY.md §7):
+
+* Detection is dense (``fast.fast_score`` over the whole level) with the
+  two-threshold retry folded in: score at the low threshold, prefer cells
+  that pass the high one — equivalent coverage without per-cell loops.
+* The quadtree becomes ``select.grid_top_k`` (per-cell top-k + global
+  top-K): the same spatial-uniformity-under-budget contract, expressed as
+  dense reshapes.
+* The BRIEF sampling pattern is a deterministic seeded Gaussian pattern
+  (sigma = patch/5, radius-clamped) rather than OpenCV's learned table —
+  descriptors only ever match against descriptors from this same extractor,
+  so the pattern is an internal convention; a learned table is a drop-in
+  constant swap.
+* Descriptors are packed 256 bits -> 8 x uint32 for the popcount matcher.
+
+Everything is fixed-shape: each level contributes exactly its budgeted
+keypoint count (invalid slots masked), mirroring the per-level geometric
+budget of ``ORBextractor.cpp:383-394``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fast, interp, pyramid, select
+
+PATCH = 31
+HALF_PATCH = 15
+EDGE = 19  # keep-out border for description (``ORBextractor.cpp:19``)
+N_BITS = 256
+N_WORDS = N_BITS // 32
+
+
+def _make_pattern(seed: int = 1234) -> np.ndarray:
+    """Deterministic BRIEF pattern: (256, 2, 2) int offsets (pairs of (x, y)).
+
+    Gaussian sigma = PATCH/5 (the BRIEF paper's choice), clamped to radius 13
+    so rotated samples stay inside the blurred patch.
+    """
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, PATCH / 5.0, size=(N_BITS, 2, 2))
+    r = 13.0
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    pts = np.where(norm > r, pts * (r / norm), pts)
+    return np.round(pts).astype(np.float32)
+
+
+BRIEF_PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) [pair, point, (x, y)]
+
+# Circular-patch mask and coordinate grids for IC_Angle (radius HALF_PATCH),
+# equivalent to the umax row-extent table of ``ORBextractor.cpp:400-417``.
+_yy, _xx = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
+_circle = (_xx ** 2 + _yy ** 2) <= HALF_PATCH ** 2
+IC_MASK = jnp.asarray(_circle.astype(np.float32))
+IC_X = jnp.asarray((_xx * _circle).astype(np.float32))
+IC_Y = jnp.asarray((_yy * _circle).astype(np.float32))
+
+
+def ic_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation for N keypoints -> angles (N,) radians.
+
+    ``IC_Angle`` (``ORBextractor.cpp:21-48``): angle = atan2(m01, m10) over
+    the circular 31x31 patch.
+    """
+    patches = interp.sample_patches(img, xy, PATCH)  # (N, 31, 31)
+    m10 = jnp.sum(patches * IC_X, axis=(1, 2))
+    m01 = jnp.sum(patches * IC_Y, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(img_blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotated-BRIEF: (N,) keypoints -> (N, 8) uint32 packed descriptors.
+
+    Mirrors ``computeOrbDescriptor`` (``ORBextractor.cpp:51-97``): the pattern
+    is rotated by the keypoint angle, the *blurred* image is compared at each
+    pair, bits packed little-endian per word.
+    """
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    # Rotate pattern: (N, 256, 2, 2) coords.
+    px = BRIEF_PATTERN[..., 0]  # (256, 2)
+    py = BRIEF_PATTERN[..., 1]
+    rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
+    ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
+    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, None, :]  # (N, 256, 2, 2)
+    vals = interp.bilinear(img_blur, coords)  # (N, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
+    words = bits.reshape(bits.shape[0], N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _level_budgets(n_features: int, levels: int, scale_factor: float) -> list[int]:
+    """Geometric per-level feature budget (``ORBextractor.cpp:383-394``)."""
+    inv = 1.0 / scale_factor
+    first = n_features * (1 - inv) / (1 - inv ** levels)
+    out = []
+    acc = 0
+    for lvl in range(levels - 1):
+        k = int(round(first * inv ** lvl))
+        out.append(k)
+        acc += k
+    out.append(max(n_features - acc, 0))
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
+                                   "cell", "k_per_cell"))
+def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
+                        scale_factor: float = 1.2, ini_th: float = 20.0,
+                        min_th: float = 7.0, cell: int = 32, k_per_cell: int = 8):
+    """Full ORB extraction on one image.
+
+    Operating point matches the reference defaults: 2000 features, 8 levels,
+    scale 1.2, FAST thresholds 20/7 (``config/default.yaml:89-93``).
+
+    Returns dict(xy (K, 2) level-0 coords, desc (K, 8) uint32, angle (K,),
+    score (K,), level (K,) int32, valid (K,) bool) with
+    K = n_features (static).
+    """
+    img = img.astype(jnp.float32)
+    pyr = pyramid.scale_pyramid(img, levels, scale_factor)
+    budgets = _level_budgets(n_features, levels, scale_factor)
+
+    outs = []
+    for lvl, (level_img, budget) in enumerate(zip(pyr, budgets)):
+        if budget <= 0:
+            continue
+        h, w = level_img.shape
+        # Pad to cell multiples for grid_top_k (scores in the pad are 0).
+        ph = (h + cell - 1) // cell * cell
+        pw = (w + cell - 1) // cell * cell
+        # Two-threshold FAST: low-threshold score map, but boost cells that
+        # contain high-threshold corners so they dominate selection — the
+        # dense analogue of "try iniTh, retry cell at minTh if empty"
+        # (``ORBextractor.cpp:763-770``).
+        score_lo = fast.detect(level_img, min_th)
+        hi = score_lo > ini_th
+        score = jnp.where(hi, score_lo + 1e4, score_lo)
+        score = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+        # Mask the EDGE border (descriptor keep-out).
+        row = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+        inside = ((row >= EDGE) & (row < h - EDGE) & (col >= EDGE) & (col < w - EDGE))
+        score = jnp.where(inside, score, 0.0)
+
+        xy, sc, valid = select.grid_top_k(score, budget, cell=cell, k_per_cell=k_per_cell)
+        sc = jnp.where(sc > 1e4, sc - 1e4, sc)  # undo the hi-threshold boost
+
+        ang = ic_angle(level_img, xy)
+        blur = pyramid.gaussian_blur(level_img)  # 7x7 sigma 2 (:1033-1035)
+        desc = brief_descriptors(blur, xy, ang)
+
+        lvl_scale = scale_factor ** lvl
+        outs.append({
+            "xy": xy * lvl_scale,  # back to level-0 coords (:1044-1051)
+            "desc": desc,
+            "angle": ang,
+            "score": sc,
+            "level": jnp.full(xy.shape[:1], lvl, dtype=jnp.int32),
+            "valid": valid,
+        })
+
+    return {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}

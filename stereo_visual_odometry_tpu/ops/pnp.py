@@ -1,0 +1,191 @@
+"""Batched RANSAC-PnP: fixed-budget parallel hypotheses + Gauss-Newton polish.
+
+TPU-native replacement for ``cv::solvePnPRansac(SOLVEPNP_ITERATIVE)`` in
+``OpenCV_EstimatePose_PnP`` (``/root/reference/src/tracking.cpp:464-501``:
+500 iterations, 0.5 px reprojection gate, inlier-ratio check).
+
+Design (SURVEY.md §7 "hard parts"): OpenCV RANSAC is sequential with early
+exit; XLA wants a fixed budget. Here all H hypotheses run *in parallel* via
+vmap: each draws 6 correspondences (precomputed random index matrix), solves
+a linear 6-point DLT for [R|t] (eigendecomposition of the 12x12 normal
+matrix), re-orthonormalizes R, scores inliers by reprojection error, and the
+best hypothesis is polished with a masked Gauss-Newton on all inliers —
+the moral equivalent of OpenCV's final LM refinement on the consensus set.
+Invalid correspondences never win: masked points get infinite residual.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+from .camera import Pinhole
+
+_HI = jax.lax.Precision.HIGHEST
+MIN_SAMPLE = 6
+
+
+def _normalize_pixels(cam: Pinhole, px: jax.Array) -> jax.Array:
+    """Pixels -> normalized image-plane coords (K^{-1} applied)."""
+    x = (px[..., 0] - cam.cx) / cam.fx
+    y = (px[..., 1] - cam.cy) / cam.fy
+    return jnp.stack([x, y], axis=-1)
+
+
+def _dlt_pose(pts3d: jax.Array, norm2d: jax.Array, wmask: jax.Array) -> jax.Array:
+    """Linear 6+ point pose from 3D points and normalized 2D, weighted by mask.
+
+    Builds the 2N x 12 DLT system for P = [R|t] (normalized coords, K = I),
+    solves via the null-ish eigenvector of A^T A, fixes scale/sign with the
+    cheirality of the sample centroid, and projects R onto SO(3).
+    Returns a (4, 4) transform (camera_from_world).
+    """
+    X = pts3d  # (S, 3)
+    u = norm2d[..., 0]
+    v = norm2d[..., 1]
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    Xh = jnp.concatenate([X, one[:, None]], axis=-1)  # (S, 4)
+    z4 = jnp.zeros_like(Xh)
+    row_u = jnp.concatenate([Xh, z4, -u[:, None] * Xh], axis=-1)  # (S, 12)
+    row_v = jnp.concatenate([z4, Xh, -v[:, None] * Xh], axis=-1)
+    A = jnp.concatenate([row_u * wmask[:, None], row_v * wmask[:, None]], axis=0)  # (2S, 12)
+    AtA = jnp.matmul(A.T, A, precision=_HI)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0]  # (12,)
+    P = p.reshape(3, 4)
+    R_raw = P[:, :3]
+    # Scale so that R has unit determinant magnitude; sign from cheirality.
+    scale = jnp.abs(jnp.linalg.det(R_raw)) ** (1.0 / 3.0)
+    scale = jnp.where(scale < 1e-12, 1.0, scale)
+    P = P / scale
+    centroid = jnp.sum(X * wmask[:, None], axis=0) / jnp.maximum(jnp.sum(wmask), 1.0)
+    z_c = P[2, :3] @ centroid + P[2, 3]
+    P = P * jnp.where(z_c < 0, -1.0, 1.0)
+    R = se3.orthonormalize(P[:, :3])
+    t = P[:, 3]
+    return se3.from_Rt(R, t)
+
+
+def _reproj_err2(cam: Pinhole, T: jax.Array, pts3d: jax.Array, px: jax.Array) -> jax.Array:
+    pc = se3.transform_points(T, pts3d)
+    behind = pc[..., 2] <= 1e-6
+    proj = cam.project(pc)
+    e2 = jnp.sum((proj - px) ** 2, axis=-1)
+    return jnp.where(behind, jnp.inf, e2)
+
+
+def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Array,
+                      weights: jax.Array, iters: int = 10,
+                      huber_px: float = 2.0) -> jax.Array:
+    """Masked / robust Gauss-Newton refinement of a pose on weighted points.
+
+    This is the iterative refinement half of SOLVEPNP_ITERATIVE
+    (``tracking.cpp:479-487`` uses ``useExtrinsicGuess=true`` + LM): fixed
+    iteration count, Huber-weighted normal equations, left-multiplied SE(3)
+    updates. Also reused as the single-pose case of the BA backend.
+    """
+
+    def body(_, T):
+        pc = se3.transform_points(T, pts3d)  # (N, 3)
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        safe_z = jnp.maximum(z, 1e-6)
+        inv_z = 1.0 / safe_z
+        u = cam.fx * x * inv_z + cam.cx
+        v = cam.fy * y * inv_z + cam.cy
+        r = jnp.stack([u, v], axis=-1) - px  # (N, 2)
+        # Huber + validity weights.
+        rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+        wh = jnp.where(rn <= huber_px, 1.0, huber_px / rn) * weights
+        wh = wh * (z > 1e-6)
+        # Jacobian of pixel wrt left-mult twist [v, w] (standard projection J).
+        fx, fy = cam.fx, cam.fy
+        inv_z2 = inv_z * inv_z
+        J = jnp.stack([
+            jnp.stack([fx * inv_z, jnp.zeros_like(z), -fx * x * inv_z2,
+                       -fx * x * y * inv_z2, fx * (1 + x * x * inv_z2), -fx * y * inv_z], -1),
+            jnp.stack([jnp.zeros_like(z), fy * inv_z, -fy * y * inv_z2,
+                       -fy * (1 + y * y * inv_z2), fy * x * y * inv_z2, fy * x * inv_z], -1),
+        ], axis=-2)  # (N, 2, 6)
+        Jw = J * wh[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J, precision=_HI)
+        g = jnp.einsum("nij,ni->j", Jw, r, precision=_HI)
+        H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+        delta = jnp.linalg.solve(H, -g)
+        T_new = se3.se3_exp(delta) @ T
+        good = jnp.all(jnp.isfinite(delta))
+        return jnp.where(good, T_new, T)
+
+    return jax.lax.fori_loop(0, iters, body, T0)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
+def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
+               key: jax.Array, num_hypotheses: int = 512,
+               inlier_px: float = 2.0, refine_iters: int = 10,
+               T_init: jax.Array | None = None):
+    """Fixed-budget parallel RANSAC-PnP.
+
+    Args:
+      pts3d: (N, 3) world/prev-camera points (the triangulated t-1 cloud,
+        ``tracking.cpp:292-294``).
+      px: (N, 2) observed pixels in the current left image.
+      valid: (N,) bool mask of live correspondences.
+      key: PRNG key for hypothesis sampling.
+      num_hypotheses: parallel hypothesis count (reference: 500 sequential
+        iterations, ``default.yaml:80``).
+      inlier_px: reprojection inlier radius in pixels.
+      T_init: optional initial pose included as an extra hypothesis
+        (the ``useExtrinsicGuess`` analogue).
+
+    Returns:
+      dict(T (4,4) camera_from_world, inliers (N,) bool, num_inliers,
+      inlier_ratio, ok).
+    """
+    n = pts3d.shape[0]
+    norm2d = _normalize_pixels(cam, px)
+
+    # Sample hypothesis index sets, biased to valid entries via masked gumbel
+    # top-k: per hypothesis draw uniform scores, invalid entries -inf.
+    scores = jax.random.uniform(key, (num_hypotheses, n))
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    _, samp_idx = jax.lax.top_k(scores, MIN_SAMPLE)  # (H, 6)
+
+    def one_hypothesis(idx):
+        X = pts3d[idx]
+        m = valid[idx].astype(pts3d.dtype)
+        return _dlt_pose(X, norm2d[idx], m)
+
+    T_hyp = jax.vmap(one_hypothesis)(samp_idx)  # (H, 4, 4)
+    if T_init is not None:
+        T_hyp = jnp.concatenate([T_hyp, T_init[None]], axis=0)
+
+    e2 = jax.vmap(lambda T: _reproj_err2(cam, T, pts3d, px))(T_hyp)  # (H, N)
+    inl = (e2 <= inlier_px * inlier_px) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    T_best = T_hyp[best]
+    inliers = inl[best]
+
+    T_ref = gauss_newton_pose(cam, T_best, pts3d, px,
+                              inliers.astype(pts3d.dtype), iters=refine_iters,
+                              huber_px=inlier_px)
+    # Recount inliers after refinement (OpenCV reports pre-refine inliers;
+    # post-refine is strictly more informative and usually larger).
+    e2_ref = _reproj_err2(cam, T_ref, pts3d, px)
+    inliers_ref = (e2_ref <= inlier_px * inlier_px) & valid
+    use_ref = jnp.sum(inliers_ref) >= jnp.sum(inliers)
+    T_out = jnp.where(use_ref, T_ref, T_best)
+    inl_out = jnp.where(use_ref, inliers_ref, inliers)
+
+    num_valid = jnp.maximum(jnp.sum(valid), 1)
+    num_inl = jnp.sum(inl_out)
+    return {
+        "T": T_out,
+        "inliers": inl_out,
+        "num_inliers": num_inl,
+        "inlier_ratio": num_inl / num_valid,
+        "ok": num_inl >= MIN_SAMPLE,
+    }

@@ -1,0 +1,75 @@
+"""Image pyramids for LK tracking and ORB extraction.
+
+Replaces ``ORBextractor::ComputePyramid`` (``/root/reference/src/
+ORBextractor.cpp:1061-1085``: 8 levels, scale 1.2, INTER_LINEAR resize) and
+the internal pyramid of ``cv::calcOpticalFlowPyrLK`` (factor-2 levels).
+
+TPU-first: halving uses a fixed 2x2 average-pool (reduce_window) — a dense,
+fusable op; arbitrary-ratio resize (for ORB's 1.2 factor) uses the batched
+bilinear gather from ``interp``. All shapes are static per level.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import interp
+
+
+def downsample2(img: jax.Array) -> jax.Array:
+    """(H, W) -> (H//2, W//2) by 2x2 mean pooling (H, W must be even)."""
+    h, w = img.shape
+    return jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, window_dimensions=(2, 2), window_strides=(2, 2),
+        padding="VALID") * 0.25
+
+
+def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """Factor-2 pyramid [level0=img, level1=half, ...]. Used by LK."""
+    out = [img.astype(jnp.float32)]
+    for _ in range(levels - 1):
+        out.append(downsample2(out[-1]))
+    return out
+
+
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Arbitrary-size bilinear resize (align-corners=False, like cv::resize)."""
+    h, w = img.shape
+    sy = h / out_h
+    sx = w / out_w
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    return interp.bilinear(img.astype(jnp.float32), jnp.stack([gx, gy], axis=-1))
+
+
+def scale_pyramid(img: jax.Array, levels: int, scale_factor: float) -> list[jax.Array]:
+    """ORB-style pyramid with per-level scale ``1/scale_factor**level``.
+
+    Mirrors the level geometry of ``ComputePyramid`` (``ORBextractor.cpp:
+    1061-1085``) without the explicit 19 px border (our samplers clamp at
+    edges instead; detection masks handle the edge threshold).
+    """
+    h, w = img.shape
+    out = [img.astype(jnp.float32)]
+    for lvl in range(1, levels):
+        s = 1.0 / (scale_factor ** lvl)
+        out.append(resize_bilinear(img, max(int(round(h * s)), 8), max(int(round(w * s)), 8)))
+    return out
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur, matching the 7x7 sigma-2 blur applied before
+    BRIEF sampling (``ORBextractor.cpp:1033-1035``)."""
+    r = ksize // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    img = img.astype(jnp.float32)
+    # Horizontal then vertical 1-D convolutions (XLA fuses these well).
+    img4 = img[None, None]  # NCHW
+    kh = k.reshape(1, 1, 1, ksize)
+    kv = k.reshape(1, 1, ksize, 1)
+    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), [(0, 0), (r, r)])
+    out = jax.lax.conv_general_dilated(out, kv, (1, 1), [(r, r), (0, 0)])
+    return out[0, 0]

@@ -1,0 +1,84 @@
+"""Fixed-shape keypoint selection from dense score maps.
+
+XLA needs static shapes (SURVEY.md §7 "hard parts"): the reference's
+variable-length keypoint vectors and ``erase`` loops become fixed-capacity
+arrays + validity masks here.
+
+Two selectors:
+
+* ``top_k_keypoints`` — global top-K by score (replacement for plain
+  ``cv::FAST`` + implicit ordering, ``tracking.cpp:94-113``).
+* ``grid_top_k`` — spatially-uniform selection: the image is tiled into a
+  fixed cell grid and the best ``k_per_cell`` corners of every cell are kept
+  before a global top-K. This is the behavior-equivalent, parallel
+  reformulation of ORB's sequential quadtree ``DistributeOctTree``
+  (``/root/reference/src/ORBextractor.cpp:487-715``): both enforce spatial
+  uniformity under a total budget; the greedy list surgery is replaced by a
+  dense reshape + per-cell top-k that maps onto the VPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def top_k_keypoints(score: jax.Array, k: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Global top-K of a dense score map.
+
+    Returns (xy (K, 2) float32 [x, y], scores (K,), valid (K,) bool).
+    Invalid slots (score 0) carry xy = (0, 0).
+    """
+    h, w = score.shape
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    valid = vals > 0
+    xy = jnp.stack([xs, ys], axis=-1) * valid[:, None]
+    return xy, jnp.where(valid, vals, 0.0), valid
+
+
+def grid_top_k(score: jax.Array, k_total: int, cell: int = 32, k_per_cell: int = 8,
+               ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Spatially-uniform top-K: per-cell top-k then global top-K.
+
+    ``cell`` mirrors the ~30 px FAST cells of ``ComputeKeyPointsOctTree``
+    (``ORBextractor.cpp:737-741``); ``k_per_cell`` bounds per-cell density the
+    way the quadtree bounds node occupancy. Requires H, W divisible by cell
+    (pad images beforehand; padded area scores 0).
+    """
+    h, w = score.shape
+    assert h % cell == 0 and w % cell == 0, (h, w, cell)
+    gh, gw = h // cell, w // cell
+    # (gh, gw, cell*cell) per-cell flattened scores.
+    cells = score.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
+    vals, idx = jax.lax.top_k(cells, k_per_cell)  # (gh, gw, k_per_cell)
+    cy = idx // cell
+    cx = idx % cell
+    row0 = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) * cell
+    col0 = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) * cell
+    ys = (row0 + cy).reshape(-1)
+    xs = (col0 + cx).reshape(-1)
+    flat_vals = vals.reshape(-1)
+    # Global top-K over the per-cell survivors.
+    k_total = min(k_total, flat_vals.shape[0])
+    best, bidx = jax.lax.top_k(flat_vals, k_total)
+    valid = best > 0
+    xy = jnp.stack([xs[bidx].astype(jnp.float32), ys[bidx].astype(jnp.float32)], axis=-1)
+    xy = xy * valid[:, None]
+    return xy, jnp.where(valid, best, 0.0), valid
+
+
+def mask_min_distance(xy: jax.Array, valid: jax.Array, existing_xy: jax.Array,
+                      existing_valid: jax.Array, min_dist: float) -> jax.Array:
+    """Invalidate candidates within ``min_dist`` px of any existing keypoint.
+
+    Replacement for the reference's seeding rule that avoids re-detecting
+    features already tracked from the previous frame (``tracking.cpp:268-271``
+    seeds LK from the previous feature set). O(K*M) pairwise — fine for K,M
+    in the low thousands.
+    """
+    d2 = jnp.sum((xy[:, None, :] - existing_xy[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(existing_valid[None, :], d2, jnp.inf)
+    too_close = jnp.any(d2 < min_dist * min_dist, axis=1)
+    return valid & ~too_close
