@@ -163,22 +163,28 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
         T_hyp = jnp.concatenate([T_hyp, T_init[None]], axis=0)
 
     e2 = jax.vmap(lambda T: _reproj_err2(cam, T, pts3d, px))(T_hyp)  # (H, N)
-    inl = (e2 <= inlier_px * inlier_px) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
+    thr2 = inlier_px * inlier_px
+    inl = (e2 <= thr2) & valid[None, :]
+    # MSAC scoring: truncated squared error (lower = better) — strictly more
+    # discriminative than inlier counting at equal budget.
+    msac = jnp.sum(jnp.where(valid[None, :], jnp.minimum(e2, thr2), 0.0), axis=-1)
+    best = jnp.argmin(msac)
     T_best = T_hyp[best]
     inliers = inl[best]
 
-    T_ref = gauss_newton_pose(cam, T_best, pts3d, px,
-                              inliers.astype(pts3d.dtype), iters=refine_iters,
-                              huber_px=inlier_px)
-    # Recount inliers after refinement (OpenCV reports pre-refine inliers;
-    # post-refine is strictly more informative and usually larger).
-    e2_ref = _reproj_err2(cam, T_ref, pts3d, px)
-    inliers_ref = (e2_ref <= inlier_px * inlier_px) & valid
-    use_ref = jnp.sum(inliers_ref) >= jnp.sum(inliers)
-    T_out = jnp.where(use_ref, T_ref, T_best)
-    inl_out = jnp.where(use_ref, inliers_ref, inliers)
+    # Two rounds of (Gauss-Newton polish -> inlier recount): the batched
+    # equivalent of OpenCV's final LM refinement on the consensus set, with
+    # one re-expansion of the consensus.
+    T_out, inl_out = T_best, inliers
+    for _ in range(2):
+        T_ref = gauss_newton_pose(cam, T_out, pts3d, px,
+                                  inl_out.astype(pts3d.dtype), iters=refine_iters,
+                                  huber_px=inlier_px)
+        e2_ref = _reproj_err2(cam, T_ref, pts3d, px)
+        inliers_ref = (e2_ref <= thr2) & valid
+        use_ref = jnp.sum(inliers_ref) >= jnp.sum(inl_out)
+        T_out = jnp.where(use_ref, T_ref, T_out)
+        inl_out = jnp.where(use_ref, inliers_ref, inl_out)
 
     num_valid = jnp.maximum(jnp.sum(valid), 1)
     num_inl = jnp.sum(inl_out)
