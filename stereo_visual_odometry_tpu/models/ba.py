@@ -1,0 +1,217 @@
+"""Sliding-window bundle adjustment: Levenberg-Marquardt with Schur complement.
+
+The reference links g2o but never uses it — its "G2O" pose estimator calls
+``cv::solvePnPRansac`` (``/root/reference/src/tracking.cpp:384-426``) and the
+``MapPoint``/keyframe machinery is declared-but-absent (SURVEY.md §1). This
+module supplies the real backend (BASELINE.json configs 3/5), designed for
+XLA from the start:
+
+* Fixed problem capacities: K keyframes, L landmarks, M observations, all
+  masked — no dynamic sparsity structures.
+* Batched residual/Jacobian assembly via ``vmap``; per-block reduction via
+  ``segment_sum`` (landmark 3x3 blocks, pose 6x6 blocks) — dense tensor
+  contractions the MXU/VPU like.
+* The pose-landmark coupling ``H_pl`` is kept as a dense (K, L, 6, 3) block
+  tensor (window-sized problems: K<=16, L<=2048 -> a few MB in f32), so the
+  Schur complement ``S = H_pp - H_pl H_ll^-1 H_pl^T`` is two einsums.
+* Reduced camera system solved by Cholesky on a (6K, 6K) matrix; landmarks
+  back-substituted in closed form (batched 3x3 solves).
+* Levenberg-Marquardt with multiplicative damping and accept/reject steps
+  under ``lax.while_loop``-free fixed iteration count (jit-friendly).
+* Gauge freedom fixed by freezing the first ``n_fixed`` keyframe poses.
+
+The same assembly routine, wrapped in ``shard_map`` with a ``psum`` over the
+observation shards, is the distributed BA of ``parallel/dist_ba.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.camera import Pinhole
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def project_residuals(cam: Pinhole, T_cw: jax.Array, pts_w: jax.Array,
+                      obs_uv: jax.Array):
+    """Residual + Jacobians for a batch of observations.
+
+    Args:
+      T_cw: (M, 4, 4) camera_from_world pose per observation.
+      pts_w: (M, 3) landmark position per observation.
+      obs_uv: (M, 2) measured pixels.
+
+    Returns (r (M, 2), Jp (M, 2, 6) wrt left-mult pose twist,
+    Jl (M, 2, 3) wrt landmark, z (M,) depths).
+    """
+    R = T_cw[..., :3, :3]
+    t = T_cw[..., :3, 3]
+    pc = jnp.einsum("mij,mj->mi", R, pts_w, precision=_HI) + t
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.maximum(z, 1e-6)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    fx, fy = cam.fx, cam.fy
+    u = fx * x * inv_z + cam.cx
+    v = fy * y * inv_z + cam.cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv
+
+    zeros = jnp.zeros_like(z)
+    # d(pixel)/d(camera-point)
+    Jc = jnp.stack([
+        jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], -1),
+        jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], -1),
+    ], axis=-2)  # (M, 2, 3)
+    # d(camera-point)/d(left-mult twist [v, w]) = [I | -hat(pc)]
+    Jp = jnp.concatenate([Jc, jnp.einsum("mij,mjk->mik", Jc, -se3.hat(pc),
+                                         precision=_HI)], axis=-1)  # (M, 2, 6)
+    # d(camera-point)/d(landmark) = R
+    Jl = jnp.einsum("mij,mjk->mik", Jc, R, precision=_HI)  # (M, 2, 3)
+    return r, Jp, Jl, z
+
+
+def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
+                        obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
+                        obs_w: jax.Array, huber_px: float, n_kf: int, n_lm: int):
+    """Build the BA normal equations from an observation shard.
+
+    Args:
+      poses: (K, 4, 4) camera_from_world keyframe poses.
+      points: (L, 3) landmarks.
+      obs_kf / obs_lm: (M,) int32 indices into poses / points.
+      obs_uv: (M, 2) pixels; obs_w: (M,) weights (0 = dead observation).
+
+    Returns dict(Hpp (K, 6, 6), Hll (L, 3, 3), Hpl (K, L, 6, 3),
+    bp (K, 6), bl (L, 3), cost scalar, n_active scalar). All summed over this
+    shard — pure data-parallel contributions, psum-able across shards.
+    """
+    T = poses[obs_kf]
+    X = points[obs_lm]
+    r, Jp, Jl, z = project_residuals(cam, T, X, obs_uv)
+
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    huber = jnp.where(rn <= huber_px, 1.0, huber_px / rn)
+    w = obs_w * huber * (z > 1e-6)
+
+    cost = 0.5 * jnp.sum(w * rn * rn)
+    n_active = jnp.sum(obs_w > 0)
+
+    Jpw = Jp * w[:, None, None]
+    Jlw = Jl * w[:, None, None]
+
+    Hpp_m = jnp.einsum("mia,mib->mab", Jpw, Jp, precision=_HI)   # (M, 6, 6)
+    Hll_m = jnp.einsum("mia,mib->mab", Jlw, Jl, precision=_HI)   # (M, 3, 3)
+    Hpl_m = jnp.einsum("mia,mib->mab", Jpw, Jl, precision=_HI)   # (M, 6, 3)
+    bp_m = jnp.einsum("mia,mi->ma", Jpw, r, precision=_HI)       # (M, 6)
+    bl_m = jnp.einsum("mia,mi->ma", Jlw, r, precision=_HI)       # (M, 3)
+
+    seg = jax.ops.segment_sum
+    Hpp = seg(Hpp_m, obs_kf, num_segments=n_kf)
+    Hll = seg(Hll_m, obs_lm, num_segments=n_lm)
+    bp = seg(bp_m, obs_kf, num_segments=n_kf)
+    bl = seg(bl_m, obs_lm, num_segments=n_lm)
+    # Dense coupling blocks: scatter into the (K*L) flattened pair index.
+    pair = obs_kf * n_lm + obs_lm
+    Hpl = seg(Hpl_m, pair, num_segments=n_kf * n_lm).reshape(n_kf, n_lm, 6, 3)
+
+    return {"Hpp": Hpp, "Hll": Hll, "Hpl": Hpl, "bp": bp, "bl": bl,
+            "cost": cost, "n_active": n_active}
+
+
+def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
+    """Schur-complement solve of the damped normal equations.
+
+    Returns (dx_pose (K, 6), dx_point (L, 3)). The first ``n_fixed`` pose
+    updates are zeroed (gauge fixing).
+    """
+    Hpp, Hll, Hpl = eqs["Hpp"], eqs["Hll"], eqs["Hpl"]
+    bp, bl = eqs["bp"], eqs["bl"]
+    K, L = Hpp.shape[0], Hll.shape[0]
+    I3 = jnp.eye(3, dtype=Hll.dtype)
+    I6 = jnp.eye(6, dtype=Hpp.dtype)
+
+    # Multiplicative (Marquardt) damping on block diagonals.
+    Hll_d = Hll + lm_damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll)) + 1e-8 * I3
+    Hpp_d = Hpp + lm_damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * I6
+
+    Hll_inv = jnp.linalg.inv(Hll_d)  # (L, 3, 3) batched
+
+    # S = Hpp_d - Hpl Hll^-1 Hpl^T  (block form -> dense (6K, 6K)).
+    W = Hpl                                              # (K, L, 6, 3)
+    WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv, precision=_HI)
+    S_blocks = -jnp.einsum("klac,jlbc->kjab", WHinv, W, precision=_HI)  # (K, K, 6, 6)
+    S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp_d)
+    b_schur = eqs["bp"] - jnp.einsum("klac,lc->ka", WHinv, bl, precision=_HI)
+
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    b = b_schur.reshape(6 * K)
+
+    # Gauge: freeze the first n_fixed poses by pinning their rows/cols.
+    if n_fixed > 0:
+        f = 6 * n_fixed
+        mask = jnp.arange(6 * K) >= f
+        S = jnp.where(mask[:, None] & mask[None, :], S,
+                      jnp.eye(6 * K, dtype=S.dtype))
+        b = jnp.where(mask, b, 0.0)
+
+    dx_pose = -jnp.linalg.solve(S, b).reshape(K, 6)
+    # Back-substitute landmarks: dx_l = -Hll^-1 (bl + W^T dx_p).
+    Wt_dx = jnp.einsum("klab,ka->lb", W, dx_pose, precision=_HI)
+    dx_point = -jnp.einsum("lab,lb->la", Hll_inv, bl + Wt_dx, precision=_HI)
+    return dx_pose, dx_point
+
+
+def _apply(poses, points, dx_pose, dx_point):
+    return jax.vmap(lambda x, T: se3.se3_exp(x) @ T)(dx_pose, poses), points + dx_point
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_fixed"))
+def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
+                  obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
+                  obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
+                  huber_px: float = 2.0, init_damping: float = 1e-3):
+    """Windowed LM bundle adjustment.
+
+    Args:
+      poses: (K, 4, 4) camera_from_world initial keyframe poses.
+      points: (L, 3) initial landmarks.
+      obs_*: (M,) / (M, 2) observation table (index, pixel, weight).
+      n_fixed: number of leading poses held fixed (gauge / marginalization
+        anchor).
+
+    Returns dict(poses, points, cost_initial, cost_final, damping).
+    """
+    n_kf, n_lm = poses.shape[0], points.shape[0]
+
+    def eqs_of(p, x):
+        return assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
+                                   huber_px, n_kf, n_lm)
+
+    def cost_of(p, x):
+        return eqs_of(p, x)["cost"]
+
+    cost0 = cost_of(poses, points)
+
+    def body(_, carry):
+        p, x, lam, cost = carry
+        eqs = eqs_of(p, x)
+        dxp, dxl = solve_schur(eqs, lam, n_fixed)
+        p_new, x_new = _apply(p, x, dxp, dxl)
+        new_cost = cost_of(p_new, x_new)
+        ok = jnp.isfinite(new_cost) & (new_cost < cost)
+        # LM damping schedule: decrease on success, increase on failure.
+        lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e4))
+        p = jnp.where(ok, p_new, p)
+        x = jnp.where(ok, x_new, x)
+        cost = jnp.where(ok, new_cost, cost)
+        return p, x, lam, cost
+
+    poses_f, points_f, lam_f, cost_f = jax.lax.fori_loop(
+        0, n_iters, body, (poses, points, jnp.asarray(init_damping, poses.dtype), cost0))
+    return {"poses": poses_f, "points": points_f, "cost_initial": cost0,
+            "cost_final": cost_f, "damping": lam_f}

@@ -1,0 +1,286 @@
+"""Frame-to-frame stereo VO frontends (LK and ORB pipelines), fully jitted.
+
+TPU-native re-architecture of the reference's ``Tracking`` component
+(``/root/reference/src/tracking.cpp``): the whole per-frame computation —
+detection, 4-way circular LK (or ORB + Hamming association), t-1 stereo
+triangulation, RANSAC-PnP, motion gating — is ONE compiled XLA program over
+fixed-shape arrays. The host only feeds images and composes the trajectory
+(the pose chain is inherently serial, SURVEY.md §7).
+
+Pipeline parity map:
+  LK mode  -> ``LK_StereoF2F_PnP_Track``  (``tracking.cpp:258-344``)
+  ORB mode -> ``ORB_StereoF2F_PnP_Track`` (``tracking.cpp:168-249``)
+  gates    -> min detect 30 (``tracking.cpp:261-265``), min tracked
+              (``tracking.cpp:274-279``), inlier ratio (``tracking.cpp:
+              491-495``), motion bounds + per-axis euler < 0.1 rad
+              (``tracking.cpp:209-233, 305-329``). The LK path uses the
+              config bounds (the reference hardcodes them there — a bug we
+              do not reproduce, SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fast, lk, match, orb, pnp, pyramid, se3, select, triangulate
+from ..ops.camera import StereoRig
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Static pipeline configuration (mirrors ``config/default.yaml`` keys +
+    ``Parameter``, ``/root/reference/src/parameter.cpp:47-71``)."""
+
+    mode: str = "lk"                  # 'lk' | 'orb'  (track_mode, default.yaml:75)
+    height: int = 384                 # padded static image shape
+    width: int = 1248
+    max_features: int = 1024          # fixed keypoint capacity (nFeatures=2000)
+    # FAST / detection
+    fast_threshold: float = 20.0      # tracking.cpp:99
+    cell: int = 32                    # ~30 px cells, ORBextractor.cpp:737-741
+    k_per_cell: int = 8
+    # LK
+    lk_win: int = 21                  # tracking.cpp:593-618
+    lk_levels: int = 3
+    lk_iters: int = 30
+    pyr_levels: int = 4
+    feature_match_error: float = 2.0  # stereo |dy| gate (default.yaml)
+    cycle_error: float = 2.0
+    # ORB
+    orb_levels: int = 8               # default.yaml:91
+    orb_scale: float = 1.2
+    orb_ini_th: float = 20.0
+    orb_min_th: float = 7.0
+    orb_dist_floor: float = 30.0      # max(2*min_dist, 30), tracking.cpp:549-577
+    orb_dist_ratio: float = 2.0
+    # Triangulation depth gate
+    z_min: float = 0.5
+    z_max: float = 200.0
+    # RANSAC-PnP (default.yaml:80-82)
+    num_hypotheses: int = 512
+    inlier_px: float = 2.0
+    refine_iters: int = 10
+    # Quality gates
+    min_features_detect: int = 30     # tracking.cpp:261-265
+    min_features_track: int = 10      # num_features_tracking_
+    min_inlier_rate: float = 0.5      # inlier_rate_
+    min_move: float = 0.0005          # minmove_ (m)
+    max_move: float = 10.0            # maxmove_ (m)
+    max_euler: float = 0.1            # rad per axis, tracking.cpp:212-215
+
+
+# Tracking status values (``tracking.h:22-27``).
+INITING, TRACKING_GOOD, LOST = 0, 1, 2
+
+
+def _detect_left(cfg: VOConfig, img_l: jax.Array):
+    """Dense FAST + spatially-uniform top-K + subpixel on the left image."""
+    score = fast.detect(img_l, cfg.fast_threshold)
+    xy, sc, valid = select.grid_top_k(score, cfg.max_features, cell=cfg.cell,
+                                      k_per_cell=cfg.k_per_cell)
+    xy = select.subpixel_refine(score, xy, valid)
+    return xy, sc, valid
+
+
+def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
+    """Build (init_fn, step_fn), both jitted, for the LK pipeline.
+
+    State pytree:
+      pyr_l / pyr_r: tuples of pyramid levels of the previous frame
+      kp:    (K, 2) previous-left keypoints
+      kp_valid: (K,) bool
+      T_wc:  (4, 4) accumulated world_from_camera pose (frame_pose_)
+      key:   PRNG key for RANSAC sampling
+      n_detected: int32 diagnostics
+    """
+
+    def _build_pyrs(img_l, img_r):
+        pl = tuple(pyramid.build_pyramid(img_l.astype(jnp.float32), cfg.pyr_levels))
+        pr = tuple(pyramid.build_pyramid(img_r.astype(jnp.float32), cfg.pyr_levels))
+        return pl, pr
+
+    @jax.jit
+    def init_fn(img_l, img_r, key):
+        """StereoInit_f2f (``tracking.cpp:78-92``): detect on frame 0."""
+        pl, pr = _build_pyrs(img_l, img_r)
+        xy, score, valid = _detect_left(cfg, img_l.astype(jnp.float32))
+        n_det = jnp.sum(valid)
+        status = jnp.where(n_det >= cfg.min_features_detect, TRACKING_GOOD, INITING)
+        return {
+            "pyr_l": pl, "pyr_r": pr, "kp": xy, "kp_valid": valid,
+            "T_wc": jnp.eye(4, dtype=jnp.float32),
+            "T_21_prev": jnp.eye(4, dtype=jnp.float32), "key": key,
+            "status": jnp.int32(status), "n_detected": n_det,
+        }
+
+    @jax.jit
+    def step_fn(state, img_l, img_r):
+        img_l = img_l.astype(jnp.float32)
+        img_r = img_r.astype(jnp.float32)
+        pyr_cur_l, pyr_cur_r = _build_pyrs(img_l, img_r)
+
+        # 4-way circular LK: t1L -> t1R -> t2R -> t2L (tracking.cpp:583-622).
+        quad = lk.circular_track(
+            (state["pyr_l"], state["pyr_r"], pyr_cur_r, pyr_cur_l),
+            state["kp"], state["kp_valid"],
+            feature_match_error=cfg.feature_match_error,
+            cycle_error=cfg.cycle_error,
+            win=cfg.lk_win, levels=cfg.lk_levels, iters=cfg.lk_iters)
+
+        # Triangulate the t-1 stereo pair (tracking.cpp:292-294).
+        pts3d, tri_ok = triangulate.triangulate_stereo(rig, quad["t1l"], quad["t1r"])
+        depth_ok = (pts3d[:, 2] > cfg.z_min) & (pts3d[:, 2] < cfg.z_max)
+        corr_valid = quad["valid"] & tri_ok & depth_ok
+        n_tracked = jnp.sum(corr_valid)
+
+        # RANSAC-PnP of t-1 3D cloud vs current-left pixels (tracking.cpp:299).
+        key, sub = jax.random.split(state["key"])
+        res = pnp.ransac_pnp(rig.left, pts3d, quad["t2l"], corr_valid, sub,
+                             num_hypotheses=cfg.num_hypotheses,
+                             inlier_px=cfg.inlier_px,
+                             refine_iters=cfg.refine_iters,
+                             T_init=state["T_21_prev"])
+        T_21 = res["T"]  # current camera from previous camera
+
+        # Gates (tracking.cpp:305-329 with config bounds, not hardcoded).
+        t_norm = jnp.linalg.norm(T_21[:3, 3])
+        eulers = jnp.abs(se3.euler_zyx(T_21[:3, :3]))
+        gate_track = n_tracked >= cfg.min_features_track
+        gate_inlier = res["inlier_ratio"] >= cfg.min_inlier_rate
+        gate_move = (t_norm > cfg.min_move) & (t_norm < cfg.max_move)
+        gate_rot = jnp.all(eulers < cfg.max_euler)
+        accept = gate_track & res["ok"] & gate_inlier & gate_move & gate_rot
+
+        # Pose composition: frame_pose_ *= T^{-1} (tracking.cpp:313-318).
+        T_wc_new = state["T_wc"] @ se3.se3_inv(T_21)
+        T_wc = jnp.where(accept, T_wc_new, state["T_wc"])
+
+        # Fresh detection on the current left image for the next step's seeds
+        # (tracking.cpp:260; the reference re-detects every frame).
+        xy, score, det_valid = _detect_left(cfg, img_l)
+        n_det = jnp.sum(det_valid)
+        status = jnp.where(n_det >= cfg.min_features_detect,
+                           TRACKING_GOOD, LOST).astype(jnp.int32)
+
+        # Constant-velocity motion model for the next frame's PnP init
+        # (ORB-SLAM-style; falls back to identity after a rejected frame).
+        T_21_prev = jnp.where(accept, T_21, jnp.eye(4, dtype=jnp.float32))
+        new_state = {
+            "pyr_l": pyr_cur_l, "pyr_r": pyr_cur_r,
+            "kp": xy, "kp_valid": det_valid,
+            "T_wc": T_wc, "T_21_prev": T_21_prev,
+            "key": key, "status": status, "n_detected": n_det,
+        }
+        metrics = {
+            "T_21": T_21, "accept": accept, "n_tracked": n_tracked,
+            "n_detected": n_det, "n_inliers": res["num_inliers"],
+            "inlier_ratio": res["inlier_ratio"], "t_norm": t_norm,
+            "tracked_prev": quad["t1l"], "tracked_cur": quad["t2l"],
+            "tracked_valid": corr_valid,
+        }
+        return new_state, metrics
+
+    return init_fn, step_fn
+
+
+def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
+    """Build (init_fn, step_fn) for the ORB pipeline (yaml default mode).
+
+    State keeps the previous frame's left/right ORB features; each step
+    detects on the current pair, associates t1L<->t1R (stereo) and
+    t1L<->t2L (temporal) by brute-force Hamming (``tracking.cpp:534-581``),
+    triangulates the t-1 stereo matches, and PnPs against current-left
+    pixels (``tracking.cpp:186-247``).
+    """
+    orb_kw = dict(n_features=cfg.max_features, levels=cfg.orb_levels,
+                  scale_factor=cfg.orb_scale, ini_th=cfg.orb_ini_th,
+                  min_th=cfg.orb_min_th, cell=cfg.cell,
+                  k_per_cell=cfg.k_per_cell)
+
+    @jax.jit
+    def init_fn(img_l, img_r, key):
+        fl = orb.detect_and_describe(img_l.astype(jnp.float32), **orb_kw)
+        fr = orb.detect_and_describe(img_r.astype(jnp.float32), **orb_kw)
+        n_det = jnp.sum(fl["valid"])
+        status = jnp.where(n_det >= cfg.min_features_detect, TRACKING_GOOD, INITING)
+        return {
+            "feat_l": fl, "feat_r": fr,
+            "T_wc": jnp.eye(4, dtype=jnp.float32),
+            "T_21_prev": jnp.eye(4, dtype=jnp.float32), "key": key,
+            "status": jnp.int32(status), "n_detected": n_det,
+        }
+
+    @jax.jit
+    def step_fn(state, img_l, img_r):
+        fl_cur = orb.detect_and_describe(img_l.astype(jnp.float32), **orb_kw)
+        fr_cur = orb.detect_and_describe(img_r.astype(jnp.float32), **orb_kw)
+
+        assoc = match.stereo_temporal_match(
+            state["feat_l"], state["feat_r"], fl_cur,
+            feature_match_error=cfg.feature_match_error,
+            dist_floor=cfg.orb_dist_floor, dist_ratio=cfg.orb_dist_ratio)
+
+        xy_l = state["feat_l"]["xy"]
+        xy_r = state["feat_r"]["xy"][assoc["idx_r"]]
+        xy_cur = fl_cur["xy"][assoc["idx_t2l"]]
+
+        pts3d, tri_ok = triangulate.triangulate_stereo(rig, xy_l, xy_r)
+        depth_ok = (pts3d[:, 2] > cfg.z_min) & (pts3d[:, 2] < cfg.z_max)
+        corr_valid = assoc["valid"] & tri_ok & depth_ok
+        n_tracked = jnp.sum(corr_valid)
+
+        key, sub = jax.random.split(state["key"])
+        # Per-point confidence by detection octave (ORB-SLAM invSigma2):
+        # a feature found at pyramid level l is localized ~scale^l worse.
+        lvl = state["feat_l"]["level"]
+        inv_sigma2 = (1.0 / cfg.orb_scale ** 2) ** lvl.astype(jnp.float32)
+        res = pnp.ransac_pnp(rig.left, pts3d, xy_cur, corr_valid, sub,
+                             num_hypotheses=cfg.num_hypotheses,
+                             inlier_px=cfg.inlier_px,
+                             refine_iters=cfg.refine_iters,
+                             T_init=state["T_21_prev"],
+                             weights=inv_sigma2)
+        T_21 = res["T"]
+
+        t_norm = jnp.linalg.norm(T_21[:3, 3])
+        eulers = jnp.abs(se3.euler_zyx(T_21[:3, :3]))
+        accept = ((n_tracked >= cfg.min_features_track) & res["ok"] &
+                  (res["inlier_ratio"] >= cfg.min_inlier_rate) &
+                  (t_norm > cfg.min_move) & (t_norm < cfg.max_move) &
+                  jnp.all(eulers < cfg.max_euler))
+
+        T_wc = jnp.where(accept, state["T_wc"] @ se3.se3_inv(T_21), state["T_wc"])
+        n_det = jnp.sum(fl_cur["valid"])
+        status = jnp.where(n_det >= cfg.min_features_detect,
+                           TRACKING_GOOD, LOST).astype(jnp.int32)
+
+        T_21_prev = jnp.where(accept, T_21, jnp.eye(4, dtype=jnp.float32))
+        new_state = {
+            "feat_l": fl_cur, "feat_r": fr_cur,
+            "T_wc": T_wc, "T_21_prev": T_21_prev,
+            "key": key, "status": status, "n_detected": n_det,
+        }
+        metrics = {
+            "T_21": T_21, "accept": accept, "n_tracked": n_tracked,
+            "n_detected": n_det, "n_inliers": res["num_inliers"],
+            "inlier_ratio": res["inlier_ratio"], "t_norm": t_norm,
+            "tracked_prev": xy_l, "tracked_cur": xy_cur,
+            "tracked_valid": corr_valid,
+        }
+        return new_state, metrics
+
+    return init_fn, step_fn
+
+
+def make_frontend(cfg: VOConfig, rig: StereoRig):
+    """Dispatch on ``cfg.mode`` (the ``track_mode`` switch,
+    ``tracking.cpp:115-126``)."""
+    if cfg.mode == "lk":
+        return make_lk_frontend(cfg, rig)
+    if cfg.mode == "orb":
+        return make_orb_frontend(cfg, rig)
+    raise ValueError(f"unknown mode {cfg.mode!r} (expected 'lk' or 'orb')")

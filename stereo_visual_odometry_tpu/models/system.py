@@ -1,0 +1,143 @@
+"""System driver: config -> dataset -> per-frame VO loop -> trajectory.
+
+TPU-native replacement for the reference's ``System`` runtime
+(``/root/reference/src/System.cpp``): construction wires
+config -> rig -> frontend (``System.cpp:15-27``), ``run()`` is the blocking
+per-frame loop (``System.cpp:31-43``), ``step()`` processes one stereo pair
+with wall-clock timing (``System.cpp:46-58``), and ``step_online()`` is the
+``Step_ros`` equivalent for externally-fed frames (``System.cpp:60-74``).
+
+Unlike the reference (whose only outputs are two OpenCV windows), the driver
+records the full trajectory, per-frame metrics, and can write KITTI-format
+pose files; the tracking state machine (INITING/TRACKING_GOOD/LOST,
+``tracking.h:22-27``) runs here on the host, with working LOST->reinit
+recovery (dead-stubbed in the reference, ``tracking.cpp:70-72, 662-665``).
+"""
+from __future__ import annotations
+
+import time
+from typing import Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import frontend as frontend_mod
+from ..utils.config import RunConfig, rig_from_config
+from ..utils import trajectory as traj_mod
+from ..utils.logging import get_logger
+
+
+class System:
+    """End-to-end VO runtime around the jitted frontends."""
+
+    def __init__(self, config: RunConfig):
+        self.config = config
+        self.rig = rig_from_config(config.camera)
+        self.vo_cfg = config.vo
+        self.init_fn, self.step_fn = frontend_mod.make_frontend(self.vo_cfg, self.rig)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.state = None
+        self.status = frontend_mod.INITING
+        self.lost_count = 0
+        self.max_lost_before_reinit = 3
+        self.poses: list[np.ndarray] = []
+        self.metrics: list[dict] = []
+        self.frame_times: list[float] = []
+        self.log = get_logger("system")
+
+    # ------------------------------------------------------------------ #
+
+    def step(self, img_l: np.ndarray, img_r: np.ndarray) -> dict:
+        """Process one stereo pair; returns the per-frame metric dict.
+
+        Mirrors ``System::Step`` + ``Tracking::AddFrame`` dispatch
+        (``System.cpp:46-58``, ``tracking.cpp:49-73``).
+        """
+        t0 = time.perf_counter()
+        il = jnp.asarray(img_l)
+        ir = jnp.asarray(img_r)
+
+        if self.state is None or self.status == frontend_mod.INITING:
+            self.key, sub = jax.random.split(self.key)
+            self.state = self.init_fn(il, ir, sub)
+            self.status = int(self.state["status"])
+            m = {"accept": False, "init": True,
+                 "n_detected": int(self.state["n_detected"])}
+        else:
+            self.state, metrics = self.step_fn(self.state, il, ir)
+            jax.block_until_ready(self.state["T_wc"])
+            self.status = int(self.state["status"])
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            m["accept"] = bool(metrics["accept"])
+            m["init"] = False
+            # LOST handling: the reference stubs this out; we reinitialize
+            # after a few consecutive feature-starved frames.
+            if self.status == frontend_mod.LOST:
+                self.lost_count += 1
+                if self.lost_count >= self.max_lost_before_reinit:
+                    self.log.warning("tracking lost %d frames; reinitializing",
+                                     self.lost_count)
+                    T_wc = np.asarray(self.state["T_wc"])
+                    self.key, sub = jax.random.split(self.key)
+                    self.state = self.init_fn(il, ir, sub)
+                    self.state["T_wc"] = jnp.asarray(T_wc)
+                    self.lost_count = 0
+            else:
+                self.lost_count = 0
+
+        dt = time.perf_counter() - t0
+        self.frame_times.append(dt)
+        self.poses.append(np.asarray(self.state["T_wc"], np.float64))
+        m["time_s"] = dt
+        self.metrics.append(m)
+        return m
+
+    step_online = step  # ``Step_ros`` equivalent: externally-fed frames.
+
+    # ------------------------------------------------------------------ #
+
+    def run(self, frames: Iterable[tuple[np.ndarray, np.ndarray]],
+            max_frames: int = -1) -> np.ndarray:
+        """Blocking loop over an iterable of stereo pairs (``System::Run``).
+
+        Returns the (N, 4, 4) trajectory; also writes it to
+        ``config.trajectory_out`` if set.
+        """
+        for i, (il, ir) in enumerate(frames):
+            if 0 <= max_frames <= i:
+                break
+            m = self.step(il, ir)
+            if i % 50 == 0:
+                self.log.info("frame %d status=%d time=%.1fms", i, self.status,
+                              1e3 * m["time_s"])
+        traj = np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
+        if self.config.trajectory_out:
+            traj_mod.save_kitti(self.config.trajectory_out, traj)
+            self.log.info("wrote %d poses to %s", len(traj),
+                          self.config.trajectory_out)
+        return traj
+
+    def run_kitti(self) -> np.ndarray:
+        """Run on the configured KITTI sequence directory."""
+        from ..utils.kitti import KittiStereoDataset
+
+        ds = KittiStereoDataset(self.config.dataset_dir,
+                                static_hw=(self.vo_cfg.height, self.vo_cfg.width))
+        return self.run(ds.iter_prefetch(), self.config.max_frames)
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def fps(self) -> float:
+        ts = self.frame_times[1:]  # skip compile frame
+        return len(ts) / sum(ts) if ts else 0.0
+
+    def summary(self) -> dict:
+        acc = [m.get("accept", False) for m in self.metrics if not m.get("init")]
+        return {
+            "frames": len(self.poses),
+            "fps": self.fps,
+            "accept_rate": float(np.mean(acc)) if acc else 0.0,
+            "status": self.status,
+        }

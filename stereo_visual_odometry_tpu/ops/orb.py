@@ -158,6 +158,9 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
 
         xy, sc, valid = select.grid_top_k(score, budget, cell=cell, k_per_cell=k_per_cell)
         sc = jnp.where(sc > 1e4, sc - 1e4, sc)  # undo the hi-threshold boost
+        # Subpixel localization on the raw (unboosted) score surface.
+        raw = jnp.pad(score_lo, ((0, ph - h), (0, pw - w)))
+        xy = select.subpixel_refine(raw, xy, valid)
 
         ang = ic_angle(level_img, xy)
         blur = pyramid.gaussian_blur(level_img)  # 7x7 sigma 2 (:1033-1035)

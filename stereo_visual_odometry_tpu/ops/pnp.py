@@ -125,7 +125,8 @@ def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Arr
 def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
                key: jax.Array, num_hypotheses: int = 512,
                inlier_px: float = 2.0, refine_iters: int = 10,
-               T_init: jax.Array | None = None):
+               T_init: jax.Array | None = None,
+               weights: jax.Array | None = None):
     """Fixed-budget parallel RANSAC-PnP.
 
     Args:
@@ -139,12 +140,17 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
       inlier_px: reprojection inlier radius in pixels.
       T_init: optional initial pose included as an extra hypothesis
         (the ``useExtrinsicGuess`` analogue).
+      weights: optional (N,) per-point confidence (e.g. inverse octave
+        variance for ORB features, the ORB-SLAM invSigma2 convention);
+        scales the refinement and MSAC contributions.
 
     Returns:
       dict(T (4,4) camera_from_world, inliers (N,) bool, num_inliers,
       inlier_ratio, ok).
     """
     n = pts3d.shape[0]
+    if weights is None:
+        weights = jnp.ones(n, dtype=pts3d.dtype)
     norm2d = _normalize_pixels(cam, px)
 
     # Sample hypothesis index sets, biased to valid entries via masked gumbel
@@ -167,7 +173,8 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     inl = (e2 <= thr2) & valid[None, :]
     # MSAC scoring: truncated squared error (lower = better) — strictly more
     # discriminative than inlier counting at equal budget.
-    msac = jnp.sum(jnp.where(valid[None, :], jnp.minimum(e2, thr2), 0.0), axis=-1)
+    msac = jnp.sum(jnp.where(valid[None, :], jnp.minimum(e2, thr2), 0.0) *
+                   weights[None, :], axis=-1)
     best = jnp.argmin(msac)
     T_best = T_hyp[best]
     inliers = inl[best]
@@ -178,8 +185,8 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     T_out, inl_out = T_best, inliers
     for _ in range(2):
         T_ref = gauss_newton_pose(cam, T_out, pts3d, px,
-                                  inl_out.astype(pts3d.dtype), iters=refine_iters,
-                                  huber_px=inlier_px)
+                                  inl_out.astype(pts3d.dtype) * weights,
+                                  iters=refine_iters, huber_px=inlier_px)
         e2_ref = _reproj_err2(cam, T_ref, pts3d, px)
         inliers_ref = (e2_ref <= thr2) & valid
         use_ref = jnp.sum(inliers_ref) >= jnp.sum(inl_out)

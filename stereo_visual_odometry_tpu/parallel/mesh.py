@@ -1,0 +1,29 @@
+"""Device-mesh helpers for multi-chip / multi-host scale-out.
+
+The reference is single-process, single-thread (SURVEY.md §2): every
+parallel axis here is a new capability. Axes:
+
+* ``seq``  — data parallelism over KITTI sequences (BASELINE.json config 4)
+* ``ba``   — keyframe-block sharding for distributed bundle adjustment
+             (config 5); collectives ride ICI within a slice.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_leading(mesh: Mesh, axis: str = "seq") -> NamedSharding:
+    """Sharding that splits the leading array axis over the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
