@@ -76,7 +76,8 @@ def project_residuals(cam: Pinhole, T_cw: jax.Array, pts_w: jax.Array,
 
 def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
                         obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
-                        obs_w: jax.Array, huber_px: float, n_kf: int, n_lm: int):
+                        obs_w: jax.Array, huber_px: float, n_kf: int, n_lm: int,
+                        robust: str = "huber"):
     """Build the BA normal equations from an observation shard.
 
     Args:
@@ -94,8 +95,15 @@ def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
     r, Jp, Jl, z = project_residuals(cam, T, X, obs_uv)
 
     rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
-    huber = jnp.where(rn <= huber_px, 1.0, huber_px / rn)
-    w = obs_w * huber * (z > 1e-6)
+    if robust == "gm":
+        # Geman-McClure: redescending, bounded influence — outliers beyond a
+        # few deltas contribute ~nothing. Used in the final solve phase
+        # (graduated non-convexity: Huber first, GM to finish).
+        s = (rn / huber_px) ** 2
+        rw = 1.0 / (1.0 + s) ** 2
+    else:  # huber
+        rw = jnp.where(rn <= huber_px, 1.0, huber_px / rn)
+    w = obs_w * rw * (z > 1e-6)
 
     cost = 0.5 * jnp.sum(w * rn * rn)
     n_active = jnp.sum(obs_w > 0)
@@ -169,27 +177,13 @@ def _apply(poses, points, dx_pose, dx_point):
     return jax.vmap(lambda x, T: se3.se3_exp(x) @ T)(dx_pose, poses), points + dx_point
 
 
-@partial(jax.jit, static_argnames=("n_iters", "n_fixed"))
-def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
-                  obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
-                  obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
-                  huber_px: float = 2.0, init_damping: float = 1e-3):
-    """Windowed LM bundle adjustment.
-
-    Args:
-      poses: (K, 4, 4) camera_from_world initial keyframe poses.
-      points: (L, 3) initial landmarks.
-      obs_*: (M,) / (M, 2) observation table (index, pixel, weight).
-      n_fixed: number of leading poses held fixed (gauge / marginalization
-        anchor).
-
-    Returns dict(poses, points, cost_initial, cost_final, damping).
-    """
+def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
+             n_iters, n_fixed, huber_px, init_damping, robust="huber"):
     n_kf, n_lm = poses.shape[0], points.shape[0]
 
     def eqs_of(p, x):
         return assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
-                                   huber_px, n_kf, n_lm)
+                                   huber_px, n_kf, n_lm, robust=robust)
 
     def cost_of(p, x):
         return eqs_of(p, x)["cost"]
@@ -212,6 +206,59 @@ def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
         return p, x, lam, cost
 
     poses_f, points_f, lam_f, cost_f = jax.lax.fori_loop(
-        0, n_iters, body, (poses, points, jnp.asarray(init_damping, poses.dtype), cost0))
+        0, n_iters, body,
+        (poses, points, jnp.asarray(init_damping, poses.dtype), cost0))
+    return poses_f, points_f, lam_f, cost_f, cost0
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_fixed", "prune_px", "gm_polish"))
+def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
+                  obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
+                  obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
+                  huber_px: float = 2.0, init_damping: float = 1e-3,
+                  prune_px: float | None = None, gm_polish: bool = True):
+    """Windowed LM bundle adjustment.
+
+    Args:
+      poses: (K, 4, 4) camera_from_world initial keyframe poses.
+      points: (L, 3) initial landmarks.
+      obs_*: (M,) / (M, 2) observation table (index, pixel, weight).
+      n_fixed: number of leading poses held fixed (gauge / marginalization
+        anchor).
+      prune_px: if set, after the main solve observations with residual
+        above this radius are zero-weighted and a short re-polish runs —
+        explicit outlier pruning between solves, as production BA does.
+
+    Returns dict(poses, points, cost_initial, cost_final, damping, obs_w).
+    """
+    # Graduated non-convexity: Geman-McClure with an annealed scale. The wide
+    # scale is near-quadratic (converges from poor initializations); narrowing
+    # it drives outlier influence to zero. Huber alone is insufficient — its
+    # linear tail lets a coherent outlier cluster out-pull the true optimum.
+    if gm_polish:
+        schedule = [("gm", 16.0, n_iters), ("gm", 4.0, max(n_iters // 2, 2)),
+                    ("gm", 1.0, max(n_iters // 2, 2))]
+    else:
+        schedule = [("huber", 1.0, n_iters)]
+
+    poses_f, points_f = poses, points
+    cost0 = None
+    for robust, mult, iters in schedule:
+        poses_f, points_f, lam_f, cost_f, c0 = _lm_loop(
+            cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
+            iters, n_fixed, huber_px * mult, init_damping, robust=robust)
+        if cost0 is None:
+            cost0 = c0
+
+    if prune_px is not None:
+        T = poses_f[obs_kf]
+        X = points_f[obs_lm]
+        r, _, _, z = project_residuals(cam, T, X, obs_uv)
+        rn = jnp.linalg.norm(r, axis=-1)
+        obs_w = obs_w * ((rn <= prune_px) & (z > 1e-6))
+        poses_f, points_f, lam_f, cost_f, _ = _lm_loop(
+            cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
+            max(n_iters // 2, 2), n_fixed, huber_px, init_damping)
+
     return {"poses": poses_f, "points": points_f, "cost_initial": cost0,
-            "cost_final": cost_f, "damping": lam_f}
+            "cost_final": cost_f, "damping": lam_f, "obs_w": obs_w}

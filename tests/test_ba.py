@@ -1,0 +1,151 @@
+"""Bundle adjustment: synthetic window problems with known ground truth."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.models import ba
+from stereo_visual_odometry_tpu.ops import se3
+from stereo_visual_odometry_tpu.ops.camera import Pinhole
+
+def make_ba_problem(n_kf=6, n_lm=120, noise_px=0.3, pose_noise=0.02,
+                    point_noise=0.2, drop_frac=0.1, seed=7):
+    RNG = np.random.default_rng(seed)
+    cam = Pinhole.create(500.0, 500.0, 320.0, 240.0)
+    # Ground truth: forward motion, landmarks ahead.
+    poses_gt = []
+    for k in range(n_kf):
+        T = np.eye(4)
+        T[:3, 3] = [0.02 * k, -0.01 * k, -0.8 * k]  # camera_from_world drift
+        poses_gt.append(T)
+    poses_gt = np.stack(poses_gt).astype(np.float32)
+    pts_gt = np.stack([RNG.uniform(-8, 8, n_lm), RNG.uniform(-4, 4, n_lm),
+                       RNG.uniform(8, 40, n_lm)], -1).astype(np.float32)
+
+    obs_kf, obs_lm, obs_uv, obs_w = [], [], [], []
+    for k in range(n_kf):
+        pc = pts_gt @ poses_gt[k][:3, :3].T + poses_gt[k][:3, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1)
+        vis = (pc[:, 2] > 1) & (uv[:, 0] > 0) & (uv[:, 0] < 640) & \
+              (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        for l in np.nonzero(vis)[0]:
+            obs_kf.append(k)
+            obs_lm.append(l)
+            obs_uv.append(uv[l] + RNG.normal(size=2) * noise_px)
+            obs_w.append(1.0)
+    # Drop some to irregular pattern + pad to fixed M with dead obs.
+    m = len(obs_kf)
+    keep = RNG.random(m) > drop_frac
+    obs_kf = np.asarray(obs_kf, np.int32)[keep]
+    obs_lm = np.asarray(obs_lm, np.int32)[keep]
+    obs_uv = np.asarray(obs_uv, np.float32)[keep]
+    obs_w = np.asarray(obs_w, np.float32)[keep]
+
+    # Perturb initial estimates (first pose exact: gauge anchor).
+    poses_init = poses_gt.copy()
+    for k in range(1, n_kf):
+        xi = RNG.normal(size=6).astype(np.float32) * pose_noise
+        poses_init[k] = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ poses_init[k]
+    pts_init = pts_gt + RNG.normal(size=pts_gt.shape).astype(np.float32) * point_noise
+
+    return cam, poses_gt, pts_gt, poses_init, pts_init, \
+        (jnp.asarray(obs_kf), jnp.asarray(obs_lm), jnp.asarray(obs_uv), jnp.asarray(obs_w))
+
+
+def pose_errors(poses_est, poses_gt):
+    errs = []
+    for a, b in zip(np.asarray(poses_est), poses_gt):
+        d = np.asarray(se3.se3_log(jnp.asarray(
+            (np.linalg.inv(b) @ a).astype(np.float32))))
+        errs.append(np.linalg.norm(d))
+    return np.array(errs)
+
+
+def test_ba_reduces_cost_and_recovers_poses():
+    cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem()
+    out = ba.bundle_adjust(cam, jnp.asarray(p0), jnp.asarray(x0), *obs,
+                           n_iters=15, n_fixed=1)
+    assert float(out["cost_final"]) < 0.2 * float(out["cost_initial"])
+    e0 = pose_errors(p0, poses_gt)
+    e1 = pose_errors(out["poses"], poses_gt)
+    assert e1.mean() < 0.3 * e0.mean(), (e0.mean(), e1.mean())
+    assert e1.mean() < 0.02
+
+
+def test_ba_perfect_data_zero_cost():
+    cam, poses_gt, pts_gt, _, _, obs = make_ba_problem(noise_px=0.0,
+                                                       pose_noise=0.0, point_noise=0.0)
+    out = ba.bundle_adjust(cam, jnp.asarray(poses_gt), jnp.asarray(pts_gt), *obs,
+                           n_iters=3)
+    assert float(out["cost_initial"]) < 1e-3
+    assert float(out["cost_final"]) <= float(out["cost_initial"]) + 1e-6
+
+
+def test_ba_fixed_poses_stay_fixed():
+    cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem(n_kf=5)
+    out = ba.bundle_adjust(cam, jnp.asarray(p0), jnp.asarray(x0), *obs,
+                           n_iters=8, n_fixed=2)
+    np.testing.assert_allclose(np.asarray(out["poses"])[:2], p0[:2], atol=1e-6)
+
+
+def test_ba_ignores_zero_weight_observations():
+    cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem(noise_px=0.1)
+    obs_kf, obs_lm, obs_uv, obs_w = obs
+    # Corrupt 30% of observations but zero their weights.
+    rng = np.random.default_rng(21)
+    m = obs_uv.shape[0]
+    idx = rng.choice(m, m // 3, replace=False)
+    uv_bad = np.array(obs_uv)
+    uv_bad[idx] += 300.0
+    w = np.array(obs_w)
+    w[idx] = 0.0
+    out = ba.bundle_adjust(cam, jnp.asarray(p0), jnp.asarray(x0),
+                           obs_kf, obs_lm, jnp.asarray(uv_bad), jnp.asarray(w),
+                           n_iters=12, n_fixed=1)
+    e1 = pose_errors(out["poses"], poses_gt)
+    assert e1.mean() < 0.02, e1.mean()
+
+
+def test_ba_huber_robust_to_outliers():
+    cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem(noise_px=0.2)
+    obs_kf, obs_lm, obs_uv, obs_w = obs
+    rng = np.random.default_rng(22)
+    m = obs_uv.shape[0]
+    idx = rng.choice(m, m // 10, replace=False)
+    uv_bad = np.array(obs_uv)
+    uv_bad[idx] += rng.uniform(15, 60, size=(len(idx), 2))
+    out = ba.bundle_adjust(cam, jnp.asarray(p0), jnp.asarray(x0),
+                           obs_kf, obs_lm, jnp.asarray(uv_bad), obs_w,
+                           n_iters=15, n_fixed=1, huber_px=2.0, prune_px=10.0)
+    e1 = pose_errors(out["poses"], poses_gt)
+    assert e1.mean() < 0.05, e1.mean()
+
+
+def test_distributed_ba_matches_single_chip():
+    from stereo_visual_odometry_tpu.parallel import dist_ba
+    from stereo_visual_odometry_tpu.parallel.mesh import make_mesh
+
+    cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem()
+    obs_kf, obs_lm, obs_uv, obs_w = obs
+    # Pad observation table to a multiple of the mesh size with dead obs.
+    n_dev = len(jax.devices())
+    m = obs_kf.shape[0]
+    pad = (-m) % n_dev
+    pad_obs = (
+        jnp.concatenate([obs_kf, jnp.zeros(pad, jnp.int32)]),
+        jnp.concatenate([obs_lm, jnp.zeros(pad, jnp.int32)]),
+        jnp.concatenate([obs_uv, jnp.zeros((pad, 2), jnp.float32)]),
+        jnp.concatenate([obs_w, jnp.zeros(pad, jnp.float32)]),
+    )
+    mesh = make_mesh(axis="ba")
+    solve = dist_ba.make_distributed_ba(cam, mesh, n_kf=p0.shape[0],
+                                        n_lm=x0.shape[0], n_iters=15)
+    out_d = solve(jnp.asarray(p0), jnp.asarray(x0), *pad_obs)
+    out_s = ba.bundle_adjust(cam, jnp.asarray(p0), jnp.asarray(x0), *obs,
+                             n_iters=15, n_fixed=1)
+    # Same optimum (small numeric differences from reduction order).
+    np.testing.assert_allclose(np.asarray(out_d["poses"]),
+                               np.asarray(out_s["poses"]), atol=1e-3)
+    assert float(out_d["cost_final"]) < 0.2 * float(out_d["cost_initial"])
+    e1 = pose_errors(out_d["poses"], poses_gt)
+    assert e1.mean() < 0.02
