@@ -1,0 +1,161 @@
+"""Benchmark: TPU VO frames/s vs the reproduced reference (OpenCV CPU) baseline.
+
+Prints ONE JSON line:
+  {"metric": "vo_frames_per_s", "value": <tpu fps>, "unit": "frames/s",
+   "vs_baseline": <tpu fps / reference fps>}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+*reproduced*: a faithful re-execution of the reference's LK pipeline using
+the exact OpenCV primitives it calls (cv::FAST @20, 4x calcOpticalFlowPyrLK
+21x21/3-level/30-iter, cv::triangulatePoints, cv::solvePnPRansac 500-iter —
+``/root/reference/src/tracking.cpp:258-344``) timed on this host's CPU over
+the same frames. The TPU path is the jitted LK frontend at the same
+operating point (KITTI-sized 376x1241 frames padded to 384x1280, 1024
+features).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+H_RAW, W_RAW = 376, 1241
+H, W = 384, 1280
+N_FRAMES = 18
+WARMUP = 2
+FEATURES = 1024
+FX, BASELINE = 718.856, 0.537
+
+
+def make_frames():
+    from stereo_visual_odometry_tpu.utils import synthetic
+
+    seq = synthetic.render_sequence(
+        n_frames=N_FRAMES, h=H_RAW, w=W_RAW, fx=FX, baseline=BASELINE,
+        n_points=9000, speed=1.1, seed=3)
+    pad = lambda a: np.pad(a, ((0, 0), (0, H - H_RAW), (0, W - W_RAW)), mode="edge")
+    return pad(seq["images_l"]), pad(seq["images_r"])
+
+
+def bench_tpu(il: np.ndarray, ir: np.ndarray) -> float:
+    import jax
+    import jax.numpy as jnp
+    from stereo_visual_odometry_tpu.models import frontend
+    from stereo_visual_odometry_tpu.ops.camera import StereoRig
+
+    rig = StereoRig.kitti(fx=FX, fy=FX, cx=W_RAW / 2, cy=H_RAW / 2,
+                          baseline=BASELINE)
+    cfg = frontend.VOConfig(mode="lk", height=H, width=W,
+                            max_features=FEATURES, num_hypotheses=512,
+                            min_inlier_rate=0.3, min_features_track=8)
+    init_fn, step_fn = frontend.make_frontend(cfg, rig)
+
+    imgs_l = [jax.device_put(jnp.asarray(x)) for x in il]
+    imgs_r = [jax.device_put(jnp.asarray(x)) for x in ir]
+
+    state = init_fn(imgs_l[0], imgs_r[0], jax.random.PRNGKey(0))
+    jax.block_until_ready(state["T_wc"])
+    for i in range(1, 1 + WARMUP):
+        state, m = step_fn(state, imgs_l[i], imgs_r[i])
+    jax.block_until_ready(state["T_wc"])
+
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(1 + WARMUP, N_FRAMES):
+        state, m = step_fn(state, imgs_l[i], imgs_r[i])
+        n += 1
+    jax.block_until_ready(state["T_wc"])
+    dt = time.perf_counter() - t0
+    accept = float(np.asarray(m["accept"]))
+    print(f"[bench] tpu: {n} frames in {dt:.3f}s, last accept={accept}, "
+          f"n_tracked={int(m['n_tracked'])}", file=sys.stderr)
+    return n / dt
+
+
+def bench_reference_cpu(il: np.ndarray, ir: np.ndarray) -> float:
+    """Faithful reproduction of the reference LK pipeline with OpenCV."""
+    import cv2
+
+    K = np.array([[FX, 0, W_RAW / 2], [0, FX, H_RAW / 2], [0, 0, 1]])
+    P1 = np.hstack([K, np.zeros((3, 1))])
+    P2 = np.hstack([K, K @ np.array([[-BASELINE], [0], [0]])])
+    lk_kw = dict(winSize=(21, 21), maxLevel=3,
+                 criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01))
+
+    frames_l = [x[:H_RAW, :W_RAW].astype(np.uint8) for x in il]
+    frames_r = [x[:H_RAW, :W_RAW].astype(np.uint8) for x in ir]
+
+    det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+
+    def detect(img):
+        kps = det.detect(img, None)
+        kps = sorted(kps, key=lambda k: -k.response)[:FEATURES]
+        return np.array([k.pt for k in kps], np.float32).reshape(-1, 1, 2)
+
+    prev_pts = detect(frames_l[0])
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(1, N_FRAMES):
+        t1l, t1r = frames_l[i - 1], frames_r[i - 1]
+        t2l, t2r = frames_l[i], frames_r[i]
+        p = prev_pts
+        # 4-way circular LK (tracking.cpp:593-618).
+        p_r1, s1, _ = cv2.calcOpticalFlowPyrLK(t1l, t1r, p, None, **lk_kw)
+        p_r2, s2, _ = cv2.calcOpticalFlowPyrLK(t1r, t2r, p_r1, None, **lk_kw)
+        p_l2, s3, _ = cv2.calcOpticalFlowPyrLK(t2r, t2l, p_r2, None, **lk_kw)
+        p_l1, s4, _ = cv2.calcOpticalFlowPyrLK(t2l, t1l, p_l2, None, **lk_kw)
+        ok = (s1 & s2 & s3 & s4).ravel().astype(bool)
+        ok &= np.abs(p[:, 0, 1] - p_r1[:, 0, 1]) <= 2.0
+        ok &= np.abs(p_l2[:, 0, 1] - p_r2[:, 0, 1]) <= 2.0
+        a, b, c = p[ok, 0], p_r1[ok, 0], p_l2[ok, 0]
+        if len(a) >= 8:
+            X_h = cv2.triangulatePoints(P1, P2, a.T.astype(np.float64),
+                                        b.T.astype(np.float64))
+            X = (X_h[:3] / X_h[3]).T
+            good = X[:, 2] > 0.5
+            if good.sum() >= 8:
+                cv2.solvePnPRansac(
+                    X[good], c[good].astype(np.float64), K, None,
+                    iterationsCount=500, reprojectionError=2.0,
+                    confidence=0.99, flags=cv2.SOLVEPNP_ITERATIVE)
+        prev_pts = detect(t2l)
+        n += 1
+    dt = time.perf_counter() - t0
+    print(f"[bench] reference cpu: {n} frames in {dt:.3f}s", file=sys.stderr)
+    return n / dt
+
+
+def main():
+    il, ir = make_frames()
+
+    # Reproduced reference baseline (cached: it is a property of this host).
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json")
+    if os.path.exists(cache):
+        ref_fps = json.load(open(cache))["reference_cpu_fps"]
+        print(f"[bench] cached reference baseline: {ref_fps:.2f} fps",
+              file=sys.stderr)
+    else:
+        ref_fps = bench_reference_cpu(il, ir)
+        json.dump({"reference_cpu_fps": ref_fps,
+                   "config": "LK_stereof2f_pnp, 376x1241, 1024 features",
+                   "note": "faithful OpenCV re-execution of the reference "
+                           "pipeline (tracking.cpp:258-344) on this host"},
+                  open(cache, "w"), indent=1)
+
+    tpu_fps = bench_tpu(il, ir)
+    print(json.dumps({
+        "metric": "vo_frames_per_s",
+        "value": round(tpu_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / ref_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Multi-sequence sharded VO on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.models import frontend
+from stereo_visual_odometry_tpu.ops.camera import Pinhole, StereoRig
+from stereo_visual_odometry_tpu.parallel import sequences
+from stereo_visual_odometry_tpu.parallel.mesh import make_mesh
+from stereo_visual_odometry_tpu.utils import synthetic, trajectory
+
+
+def make_batch(n_seq, n_frames, h=192, w=256):
+    seqs = [synthetic.render_sequence(n_frames=n_frames, h=h, w=w, fx=300.0,
+                                      speed=1.0, seed=s)
+            for s in range(n_seq)]
+    il = np.stack([s["images_l"] for s in seqs])  # (S, T, H, W)
+    ir = np.stack([s["images_r"] for s in seqs])
+    gt = np.stack([s["poses_gt"] for s in seqs])
+    return il, ir, gt, seqs[0]["rig"]
+
+
+def test_batched_vo_matches_single_sequence():
+    n_seq = len(jax.devices())
+    il, ir, gt, rp = make_batch(n_seq, n_frames=6)
+    cam = Pinhole.create(rp["fx"], rp["fy"], rp["cx"], rp["cy"])
+    rig = StereoRig.create(cam, cam, t_rl=[-rp["baseline"], 0, 0])
+    cfg = frontend.VOConfig(mode="lk", height=192, width=256, max_features=256,
+                            num_hypotheses=128, min_features_track=8,
+                            min_inlier_rate=0.3)
+    mesh = make_mesh(axis="seq")
+    binit, bstep, place = sequences.make_batched_frontend(cfg, rig, mesh)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_seq)
+    state = binit(place(jnp.asarray(il[:, 0])), place(jnp.asarray(ir[:, 0])), keys)
+    for t in range(1, il.shape[1]):
+        state, m = bstep(state, place(jnp.asarray(il[:, t])), place(jnp.asarray(ir[:, t])))
+    T_wc = np.asarray(state["T_wc"], np.float64)  # (S, 4, 4)
+
+    # Every sequence must have tracked its own ground truth.
+    for s in range(n_seq):
+        err = np.linalg.norm(T_wc[s][:3, 3] - gt[s][-1][:3, 3])
+        assert err < 0.4, (s, err, T_wc[s][:3, 3], gt[s][-1][:3, 3])
+
+    # Sequence 0 must agree with the unbatched frontend (same key).
+    init1, step1 = frontend.make_frontend(cfg, rig)
+    st = init1(jnp.asarray(il[0, 0]), jnp.asarray(ir[0, 0]), keys[0])
+    for t in range(1, il.shape[1]):
+        st, _ = step1(st, jnp.asarray(il[0, t]), jnp.asarray(ir[0, t]))
+    np.testing.assert_allclose(np.asarray(st["T_wc"]), T_wc[0], atol=1e-3)
+
+
+def test_chunk_scan_on_device():
+    n_seq = 4
+    il, ir, gt, rp = make_batch(n_seq, n_frames=5)
+    cam = Pinhole.create(rp["fx"], rp["fy"], rp["cx"], rp["cy"])
+    rig = StereoRig.create(cam, cam, t_rl=[-rp["baseline"], 0, 0])
+    cfg = frontend.VOConfig(mode="lk", height=192, width=256, max_features=256,
+                            num_hypotheses=128, min_features_track=8,
+                            min_inlier_rate=0.3)
+    init1, step1 = frontend.make_frontend(cfg, rig)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_seq)
+    state = jax.vmap(init1)(jnp.asarray(il[:, 0]), jnp.asarray(ir[:, 0]), keys)
+    state, metrics = sequences.run_chunk_scan(
+        step1, state, jnp.asarray(il[:, 1:]), jnp.asarray(ir[:, 1:]))
+    assert metrics["accept"].shape == (4, n_seq)  # (T, S)
+    acc = np.asarray(metrics["accept"])
+    assert acc.mean() > 0.7
+    T_wc = np.asarray(state["T_wc"], np.float64)
+    for s in range(n_seq):
+        err = np.linalg.norm(T_wc[s][:3, 3] - gt[s][-1][:3, 3])
+        assert err < 0.4, (s, err)

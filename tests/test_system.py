@@ -1,0 +1,153 @@
+"""System driver, online feed, config, KITTI IO, viz round-trips."""
+import dataclasses
+import os
+import time
+
+import numpy as np
+import pytest
+
+from stereo_visual_odometry_tpu.models.frontend import VOConfig
+from stereo_visual_odometry_tpu.models.system import System
+from stereo_visual_odometry_tpu.utils import synthetic, trajectory
+from stereo_visual_odometry_tpu.utils.config import (
+    CameraConfig, RunConfig, load_reference_yaml, rig_from_config)
+
+
+def make_system(mode="lk", h=192, w=256, **vo_kw):
+    seq = synthetic.render_sequence(n_frames=8, h=h, w=w, fx=300.0, speed=1.0)
+    rp = seq["rig"]
+    cam = CameraConfig(fx=rp["fx"], fy=rp["fy"], cx=rp["cx"], cy=rp["cy"],
+                       baseline=rp["baseline"])
+    vo = VOConfig(mode=mode, height=h, width=w, max_features=256,
+                  num_hypotheses=128, min_features_track=8,
+                  min_inlier_rate=0.3, **vo_kw)
+    cfg = RunConfig(camera=cam, vo=vo)
+    return System(cfg), seq
+
+
+def test_system_run_and_trajectory(tmp_path):
+    sys_, seq = make_system()
+    out = str(tmp_path / "traj.txt")
+    sys_.config = dataclasses.replace(sys_.config, trajectory_out=out)
+    frames = list(zip(seq["images_l"], seq["images_r"]))
+    traj = sys_.run(frames)
+    assert traj.shape == (8, 4, 4)
+    assert os.path.exists(out)
+    loaded = trajectory.load_kitti(out)
+    np.testing.assert_allclose(loaded, traj, atol=1e-6)
+    ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
+    assert ate < 0.3, ate
+    assert sys_.summary()["accept_rate"] > 0.7
+
+
+def test_system_reinit_after_lost():
+    sys_, seq = make_system()
+    sys_.max_lost_before_reinit = 2
+    blank = np.zeros_like(seq["images_l"][0])
+    sys_.step(seq["images_l"][0], seq["images_r"][0])
+    sys_.step(seq["images_l"][1], seq["images_r"][1])
+    pose_before = sys_.poses[-1]
+    # Feed featureless frames until reinit triggers.
+    for _ in range(3):
+        sys_.step(blank, blank)
+    # Pose must be preserved across the reinit (no jump to identity).
+    np.testing.assert_allclose(sys_.poses[-1], pose_before, atol=1e-5)
+    # Recovery: normal frames again.
+    m = sys_.step(seq["images_l"][2], seq["images_r"][2])
+    assert sys_.status in (1,)  # TRACKING_GOOD
+
+
+def test_online_feed_pairs_by_timestamp():
+    from stereo_visual_odometry_tpu.models.online import OnlineVO
+
+    sys_, seq = make_system()
+    vo = OnlineVO(sys_, slop=0.02)
+    try:
+        # Push left/right with slightly offset timestamps, out of order.
+        for i in range(5):
+            t = i * 0.1
+            vo.push_left(t, seq["images_l"][i])
+            vo.push_right(t + 0.005, seq["images_r"][i])
+        results = []
+        deadline = time.time() + 60
+        while len(results) < 5 and time.time() < deadline:
+            r = vo.poll(timeout=0.5)
+            if r:
+                results.append(r)
+        assert len(results) == 5
+        # Unpaired frame (no partner within slop) must not produce output.
+        vo.push_left(10.0, seq["images_l"][5])
+        assert vo.poll(timeout=0.5) is None
+    finally:
+        vo.close()
+
+
+def test_reference_yaml_roundtrip(tmp_path):
+    y = tmp_path / "ref.yaml"
+    y.write_text("""%YAML:1.0
+---
+dataset_dir: /data/kitti/00
+track_mode: LK_stereof2f_pnp
+camera1.fx: 718.856
+camera1.fy: 718.856
+camera1.cx: 607.1928
+camera1.cy: 185.2157
+t_lr0: -0.537
+t_lr1: 0.0
+t_lr2: 0.0
+nFeatures: 2000
+scaleFactor: 1.2
+nLevels: 8
+iniThFAST: 20
+minThFAST: 7
+iterationsCount: 500
+reprojectionError: 2.0
+inlier_rate: 0.5
+minmove: 0.05
+maxmove: 10.0
+num_features_tracking: 10
+""")
+    cfg = load_reference_yaml(str(y))
+    assert cfg.dataset_dir == "/data/kitti/00"
+    assert cfg.vo.mode == "lk"
+    assert cfg.vo.max_features == 2000
+    assert cfg.vo.num_hypotheses == 500
+    assert cfg.camera.baseline == pytest.approx(0.537)
+    rig = rig_from_config(cfg.camera)
+    assert float(rig.baseline) == pytest.approx(0.537, rel=1e-5)
+
+
+def test_kitti_loader_roundtrip(tmp_path):
+    from PIL import Image
+    from stereo_visual_odometry_tpu.utils.kitti import KittiStereoDataset
+
+    root = tmp_path / "seq"
+    (root / "image_0").mkdir(parents=True)
+    (root / "image_1").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        for d in ("image_0", "image_1"):
+            img = (rng.random((37, 61)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / d / f"{i:06d}.png")
+    ds = KittiStereoDataset(str(root), static_hw=(64, 64), use_native=False)
+    assert len(ds) == 3
+    l, r = ds[1]
+    assert l.shape == (64, 64) and r.shape == (64, 64)
+    frames = list(ds.iter_prefetch())
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[1][0], l)
+
+
+def test_viz_outputs(tmp_path):
+    from stereo_visual_odometry_tpu.utils import viz
+
+    poses = np.tile(np.eye(4), (10, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 5, 10)
+    poses[:, 2, 3] = np.linspace(0, 9, 10)
+    p = str(tmp_path / "traj.png")
+    viz.plot_trajectory(p, poses, gt=poses)
+    assert os.path.getsize(p) > 0
+    img = np.zeros((64, 64), np.float32)
+    xy = np.array([[10.0, 10.0], [30.0, 40.0]])
+    viz.draw_tracks(str(tmp_path / "trk.png"), img, xy, xy + 2, np.array([True, True]))
+    assert os.path.getsize(str(tmp_path / "trk.png")) > 0
