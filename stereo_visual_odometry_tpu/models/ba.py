@@ -37,20 +37,36 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def project_residuals(cam: Pinhole, T_cw: jax.Array, pts_w: jax.Array,
-                      obs_uv: jax.Array):
+                      obs_uv: jax.Array, obs_right: jax.Array | None = None,
+                      T_rl: jax.Array | None = None):
     """Residual + Jacobians for a batch of observations.
 
     Args:
-      T_cw: (M, 4, 4) camera_from_world pose per observation.
+      T_cw: (M, 4, 4) left-camera_from_world pose per observation.
       pts_w: (M, 3) landmark position per observation.
       obs_uv: (M, 2) measured pixels.
+      obs_right: optional (M,) bool — observation made by the RIGHT camera
+        of the rig. Stereo observations pin the scale gauge that a
+        monocular-only window BA leaves free.
+      T_rl: (4, 4) right_from_left extrinsics (required with obs_right).
 
-    Returns (r (M, 2), Jp (M, 2, 6) wrt left-mult pose twist,
-    Jl (M, 2, 3) wrt landmark, z (M,) depths).
+    Returns (r (M, 2), Jp (M, 2, 6) wrt left-mult pose twist of T_cw,
+    Jl (M, 2, 3) wrt landmark, z (M,) observing-camera depths).
     """
     R = T_cw[..., :3, :3]
     t = T_cw[..., :3, 3]
-    pc = jnp.einsum("mij,mj->mi", R, pts_w, precision=_HI) + t
+    pl = jnp.einsum("mij,mj->mi", R, pts_w, precision=_HI) + t  # left-cam point
+    if obs_right is not None:
+        assert T_rl is not None
+        R_rl = T_rl[:3, :3]
+        t_rl = T_rl[:3, 3]
+        pr = jnp.einsum("ij,mj->mi", R_rl, pl, precision=_HI) + t_rl
+        pc = jnp.where(obs_right[:, None], pr, pl)
+        R_pre = jnp.where(obs_right[:, None, None], R_rl[None], jnp.eye(3, dtype=R.dtype)[None])
+    else:
+        pc = pl
+        R_pre = None
+
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     zs = jnp.maximum(z, 1e-6)
     inv_z = 1.0 / zs
@@ -61,23 +77,27 @@ def project_residuals(cam: Pinhole, T_cw: jax.Array, pts_w: jax.Array,
     r = jnp.stack([u, v], axis=-1) - obs_uv
 
     zeros = jnp.zeros_like(z)
-    # d(pixel)/d(camera-point)
+    # d(pixel)/d(observing-camera point)
     Jc = jnp.stack([
         jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], -1),
         jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], -1),
     ], axis=-2)  # (M, 2, 3)
-    # d(camera-point)/d(left-mult twist [v, w]) = [I | -hat(pc)]
-    Jp = jnp.concatenate([Jc, jnp.einsum("mij,mjk->mik", Jc, -se3.hat(pc),
-                                         precision=_HI)], axis=-1)  # (M, 2, 6)
-    # d(camera-point)/d(landmark) = R
-    Jl = jnp.einsum("mij,mjk->mik", Jc, R, precision=_HI)  # (M, 2, 3)
+    # Chain through the rig extrinsics: d pc / d pl = R_pre.
+    Jcl = Jc if R_pre is None else jnp.einsum("mij,mjk->mik", Jc, R_pre,
+                                              precision=_HI)
+    # d pl / d(left-mult twist [v, w]) = [I | -hat(pl)]
+    Jp = jnp.concatenate([Jcl, jnp.einsum("mij,mjk->mik", Jcl, -se3.hat(pl),
+                                          precision=_HI)], axis=-1)  # (M, 2, 6)
+    # d pl / d(landmark) = R
+    Jl = jnp.einsum("mij,mjk->mik", Jcl, R, precision=_HI)  # (M, 2, 3)
     return r, Jp, Jl, z
 
 
 def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
                         obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
                         obs_w: jax.Array, huber_px: float, n_kf: int, n_lm: int,
-                        robust: str = "huber"):
+                        robust: str = "huber", obs_right: jax.Array | None = None,
+                        T_rl: jax.Array | None = None):
     """Build the BA normal equations from an observation shard.
 
     Args:
@@ -92,7 +112,7 @@ def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
     """
     T = poses[obs_kf]
     X = points[obs_lm]
-    r, Jp, Jl, z = project_residuals(cam, T, X, obs_uv)
+    r, Jp, Jl, z = project_residuals(cam, T, X, obs_uv, obs_right, T_rl)
 
     rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
     if robust == "gm":
@@ -178,12 +198,14 @@ def _apply(poses, points, dx_pose, dx_point):
 
 
 def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
-             n_iters, n_fixed, huber_px, init_damping, robust="huber"):
+             n_iters, n_fixed, huber_px, init_damping, robust="huber",
+             obs_right=None, T_rl=None):
     n_kf, n_lm = poses.shape[0], points.shape[0]
 
     def eqs_of(p, x):
         return assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
-                                   huber_px, n_kf, n_lm, robust=robust)
+                                   huber_px, n_kf, n_lm, robust=robust,
+                                   obs_right=obs_right, T_rl=T_rl)
 
     def cost_of(p, x):
         return eqs_of(p, x)["cost"]
@@ -216,7 +238,9 @@ def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
                   obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
                   obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
                   huber_px: float = 2.0, init_damping: float = 1e-3,
-                  prune_px: float | None = None, gm_polish: bool = True):
+                  prune_px: float | None = None, gm_polish: bool = True,
+                  obs_right: jax.Array | None = None,
+                  T_rl: jax.Array | None = None):
     """Windowed LM bundle adjustment.
 
     Args:
@@ -246,19 +270,21 @@ def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
     for robust, mult, iters in schedule:
         poses_f, points_f, lam_f, cost_f, c0 = _lm_loop(
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
-            iters, n_fixed, huber_px * mult, init_damping, robust=robust)
+            iters, n_fixed, huber_px * mult, init_damping, robust=robust,
+            obs_right=obs_right, T_rl=T_rl)
         if cost0 is None:
             cost0 = c0
 
     if prune_px is not None:
         T = poses_f[obs_kf]
         X = points_f[obs_lm]
-        r, _, _, z = project_residuals(cam, T, X, obs_uv)
+        r, _, _, z = project_residuals(cam, T, X, obs_uv, obs_right, T_rl)
         rn = jnp.linalg.norm(r, axis=-1)
         obs_w = obs_w * ((rn <= prune_px) & (z > 1e-6))
         poses_f, points_f, lam_f, cost_f, _ = _lm_loop(
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
-            max(n_iters // 2, 2), n_fixed, huber_px, init_damping)
+            max(n_iters // 2, 2), n_fixed, huber_px, init_damping,
+            obs_right=obs_right, T_rl=T_rl)
 
     return {"poses": poses_f, "points": points_f, "cost_initial": cost0,
             "cost_final": cost_f, "damping": lam_f, "obs_w": obs_w}

@@ -71,6 +71,10 @@ class VOConfig:
     min_move: float = 0.0005          # minmove_ (m)
     max_move: float = 10.0            # maxmove_ (m)
     max_euler: float = 0.1            # rad per axis, tracking.cpp:212-215
+    # Persistent track slots (new capability: multi-frame tracks feed the
+    # BA backend; the reference re-detects from scratch every frame).
+    persistent_tracks: bool = False
+    replenish_min_dist: float = 8.0   # px spacing for new detections
 
 
 # Tracking status values (``tracking.h:22-27``).
@@ -110,12 +114,21 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         xy, score, valid = _detect_left(cfg, img_l.astype(jnp.float32))
         n_det = jnp.sum(valid)
         status = jnp.where(n_det >= cfg.min_features_detect, TRACKING_GOOD, INITING)
-        return {
+        state = {
             "pyr_l": pl, "pyr_r": pr, "kp": xy, "kp_valid": valid,
             "T_wc": jnp.eye(4, dtype=jnp.float32),
             "T_21_prev": jnp.eye(4, dtype=jnp.float32), "key": key,
             "status": jnp.int32(status), "n_detected": n_det,
         }
+        if cfg.persistent_tracks:
+            k = cfg.max_features
+            ids = jnp.where(valid, jnp.arange(k, dtype=jnp.int32), -1)
+            state.update({
+                "track_id": ids,
+                "track_age": jnp.zeros(k, jnp.int32),
+                "next_id": jnp.asarray(jnp.sum(valid), jnp.int32),
+            })
+        return state
 
     @jax.jit
     def step_fn(state, img_l, img_r):
@@ -159,8 +172,7 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         T_wc_new = state["T_wc"] @ se3.se3_inv(T_21)
         T_wc = jnp.where(accept, T_wc_new, state["T_wc"])
 
-        # Fresh detection on the current left image for the next step's seeds
-        # (tracking.cpp:260; the reference re-detects every frame).
+        # Fresh detection on the current left image (tracking.cpp:260).
         xy, score, det_valid = _detect_left(cfg, img_l)
         n_det = jnp.sum(det_valid)
         status = jnp.where(n_det >= cfg.min_features_detect,
@@ -171,7 +183,6 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         T_21_prev = jnp.where(accept, T_21, jnp.eye(4, dtype=jnp.float32))
         new_state = {
             "pyr_l": pyr_cur_l, "pyr_r": pyr_cur_r,
-            "kp": xy, "kp_valid": det_valid,
             "T_wc": T_wc, "T_21_prev": T_21_prev,
             "key": key, "status": status, "n_detected": n_det,
         }
@@ -182,6 +193,61 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             "tracked_prev": quad["t1l"], "tracked_cur": quad["t2l"],
             "tracked_valid": corr_valid,
         }
+
+        if not cfg.persistent_tracks:
+            # Reference behavior: replace the whole feature set every frame.
+            new_state.update({"kp": xy, "kp_valid": det_valid})
+            return new_state, metrics
+
+        # Persistent slots: surviving tracks keep their slot + id; dead slots
+        # are refilled from fresh detections away from live tracks (new
+        # capability — multi-frame tracks feed the BA backend).
+        k = cfg.max_features
+        tracked_xy = quad["t2l"]
+        tracked_ok = quad["valid"]
+        cand_keep = select.mask_min_distance(xy, det_valid, tracked_xy,
+                                             tracked_ok, cfg.replenish_min_dist)
+        # Invalid slots first (stable argsort of bool), best candidates first.
+        slot_order = jnp.argsort(tracked_ok.astype(jnp.int32), stable=True)
+        n_invalid = k - jnp.sum(tracked_ok)
+        cand_order = jnp.argsort(jnp.where(cand_keep, -score, jnp.inf))
+        write_mask = (jnp.arange(k) < n_invalid) & cand_keep[cand_order]
+
+        def scatter(dst, src_sorted, fill_mask):
+            cur = dst[slot_order]
+            upd = jnp.where(fill_mask.reshape((-1,) + (1,) * (dst.ndim - 1)),
+                            src_sorted, cur)
+            return dst.at[slot_order].set(upd)
+
+        new_kp = scatter(tracked_xy, xy[cand_order], write_mask)
+        new_valid = scatter(tracked_ok, write_mask, write_mask)
+        new_ids_for_slots = state["next_id"] + jnp.cumsum(write_mask) - 1
+        ids = jnp.where(tracked_ok, state["track_id"], -1)
+        new_ids = scatter(ids, new_ids_for_slots.astype(jnp.int32), write_mask)
+        ages = jnp.where(tracked_ok, state["track_age"] + 1, 0)
+        new_ages = scatter(ages, jnp.zeros(k, jnp.int32), write_mask)
+
+        # Current-frame stereo depth of surviving tracks (landmark init for
+        # the BA backend): triangulate (t2l, t2r).
+        pts3d_cur, tri_cur_ok = triangulate.triangulate_stereo(
+            rig, quad["t2l"], quad["t2r"])
+        stereo_ok = (tracked_ok & tri_cur_ok & (pts3d_cur[:, 2] > cfg.z_min) &
+                     (pts3d_cur[:, 2] < cfg.z_max))
+
+        new_state.update({
+            "kp": new_kp, "kp_valid": new_valid, "track_id": new_ids,
+            "track_age": new_ages,
+            "next_id": (state["next_id"] + jnp.sum(write_mask)).astype(jnp.int32),
+        })
+        metrics.update({
+            "track_id": new_ids, "track_xy": new_kp, "track_valid": new_valid,
+            "track_age": new_ages,
+            "pts3d_cur": pts3d_cur, "pts3d_cur_valid": stereo_ok,
+            # Right-image position of surviving tracks (stereo BA residuals;
+            # slots refilled this frame have stereo_ok False).
+            "track_xy_r": quad["t2r"], "track_stereo_valid": stereo_ok,
+            "track_id_prev_slots": state["track_id"],
+        })
         return new_state, metrics
 
     return init_fn, step_fn

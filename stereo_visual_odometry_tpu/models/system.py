@@ -31,7 +31,7 @@ from ..utils.logging import get_logger
 class System:
     """End-to-end VO runtime around the jitted frontends."""
 
-    def __init__(self, config: RunConfig):
+    def __init__(self, config: RunConfig, backend_cfg=None):
         self.config = config
         self.rig = rig_from_config(config.camera)
         self.vo_cfg = config.vo
@@ -44,7 +44,17 @@ class System:
         self.poses: list[np.ndarray] = []
         self.metrics: list[dict] = []
         self.frame_times: list[float] = []
+        self.frame_idx = 0
         self.log = get_logger("system")
+        # Optional sliding-window BA backend (needs persistent tracks).
+        self.backend = None
+        if backend_cfg is not None:
+            from .backend import SlidingWindowBA
+
+            assert self.vo_cfg.persistent_tracks, \
+                "BA backend requires VOConfig(persistent_tracks=True)"
+            self.backend = SlidingWindowBA(self.rig.left, backend_cfg,
+                                           T_rl=np.asarray(self.rig.T_rl))
 
     # ------------------------------------------------------------------ #
 
@@ -86,11 +96,30 @@ class System:
             else:
                 self.lost_count = 0
 
+        # Sliding-window BA backend (config 3): keyframe + local refine.
+        if self.backend is not None and not m.get("init"):
+            self.backend.tick()
+            if self.backend.should_add_keyframe(self.frame_idx, int(m["n_tracked"])):
+                T_wc = np.asarray(self.state["T_wc"], np.float64)
+                self.backend.add_keyframe(
+                    self.frame_idx, T_wc, m["track_id"], m["track_xy"],
+                    m["track_valid"], m["pts3d_cur"], m["pts3d_cur_valid"],
+                    track_xy_r=m["track_xy_r"],
+                    track_stereo_valid=m["track_stereo_valid"])
+                res = self.backend.optimize()
+                if res is not None:
+                    # Propagate the refined latest-keyframe correction to the
+                    # live pose so the trajectory benefits immediately.
+                    corrected = res["correction"] @ T_wc
+                    self.state["T_wc"] = jnp.asarray(corrected, jnp.float32)
+                    m["ba"] = res
+
         dt = time.perf_counter() - t0
         self.frame_times.append(dt)
         self.poses.append(np.asarray(self.state["T_wc"], np.float64))
         m["time_s"] = dt
         self.metrics.append(m)
+        self.frame_idx += 1
         return m
 
     step_online = step  # ``Step_ros`` equivalent: externally-fed frames.

@@ -1,0 +1,95 @@
+"""Persistent tracks + sliding-window BA backend integration."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.models import frontend
+from stereo_visual_odometry_tpu.models.backend import BackendConfig, SlidingWindowBA
+from stereo_visual_odometry_tpu.models.system import System
+from stereo_visual_odometry_tpu.models.frontend import VOConfig
+from stereo_visual_odometry_tpu.ops.camera import Pinhole, StereoRig
+from stereo_visual_odometry_tpu.utils import synthetic, trajectory
+from stereo_visual_odometry_tpu.utils.config import CameraConfig, RunConfig
+
+
+def _setup(n_frames=10, h=192, w=256):
+    seq = synthetic.render_sequence(n_frames=n_frames, h=h, w=w, fx=300.0, speed=1.0)
+    rp = seq["rig"]
+    cam = Pinhole.create(rp["fx"], rp["fy"], rp["cx"], rp["cy"])
+    rig = StereoRig.create(cam, cam, t_rl=[-rp["baseline"], 0, 0])
+    cfg = VOConfig(mode="lk", height=h, width=w, max_features=256,
+                   num_hypotheses=128, min_features_track=8,
+                   min_inlier_rate=0.3, persistent_tracks=True)
+    return seq, cam, rig, cfg
+
+
+def test_persistent_tracks_keep_ids():
+    seq, cam, rig, cfg = _setup()
+    init_fn, step_fn = frontend.make_frontend(cfg, rig)
+    state = init_fn(jnp.asarray(seq["images_l"][0]), jnp.asarray(seq["images_r"][0]),
+                    jax.random.PRNGKey(0))
+    ids0 = np.array(state["track_id"])
+    prev_valid = np.array(state["kp_valid"])
+    state, m = step_fn(state, jnp.asarray(seq["images_l"][1]),
+                       jnp.asarray(seq["images_r"][1]))
+    ids1 = np.array(m["track_id"])
+    valid1 = np.array(m["track_valid"])
+    ages1 = np.array(m["track_age"])
+    # A solid majority of frame-0 tracks must survive with the same id in
+    # the same slot, age bumped to 1.
+    survived = (ids1 == ids0) & valid1 & prev_valid & (ids0 >= 0)
+    assert survived.sum() > 0.5 * prev_valid.sum()
+    assert np.all(ages1[survived] == 1)
+    # New ids only in previously-dead or replaced slots and must be fresh.
+    fresh = valid1 & (ids1 >= 0) & ~survived
+    if fresh.any():
+        assert ids1[fresh].min() >= int(np.asarray(state["next_id"])) - fresh.sum()
+    # Several-frame survival: ids persist over 3 more steps.
+    for f in range(2, 5):
+        state, m = step_fn(state, jnp.asarray(seq["images_l"][f]),
+                           jnp.asarray(seq["images_r"][f]))
+    ages = np.array(m["track_age"])
+    assert ages.max() == 4  # some track survived all 4 steps
+
+
+def test_persistent_mode_vo_accuracy_unchanged():
+    seq, cam, rig, cfg = _setup(n_frames=8)
+    init_fn, step_fn = frontend.make_frontend(cfg, rig)
+    state = init_fn(jnp.asarray(seq["images_l"][0]), jnp.asarray(seq["images_r"][0]),
+                    jax.random.PRNGKey(0))
+    poses = [np.eye(4)]
+    for f in range(1, 8):
+        state, m = step_fn(state, jnp.asarray(seq["images_l"][f]),
+                           jnp.asarray(seq["images_r"][f]))
+        poses.append(np.asarray(state["T_wc"], np.float64))
+    ate = trajectory.ate_rmse(np.stack(poses), seq["poses_gt"], align=False)
+    # Persistent tracks trade a little per-frame anchoring accuracy (LK
+    # template drift) for multi-frame observations; BA recovers it.
+    assert ate < 0.4, ate
+
+
+def test_sliding_window_ba_backend():
+    seq, cam, rig, cfg = _setup(n_frames=12)
+    rp = seq["rig"]
+    run_cfg = RunConfig(camera=CameraConfig(fx=rp["fx"], fy=rp["fy"], cx=rp["cx"],
+                                            cy=rp["cy"], baseline=rp["baseline"]),
+                        vo=cfg)
+    bcfg = BackendConfig(window=4, kf_every=2, max_landmarks=256, max_obs=2048,
+                         ba_iters=6)
+    sys_ = System(run_cfg, backend_cfg=bcfg)
+    frames = list(zip(seq["images_l"], seq["images_r"]))
+    traj = sys_.run(frames)
+    # BA must have run and reduced its cost.
+    ba_runs = [m["ba"] for m in sys_.metrics if "ba" in m]
+    assert len(ba_runs) >= 2
+    for r in ba_runs:
+        assert r["cost_final"] <= r["cost_initial"] * 1.001
+        assert r["n_landmarks"] >= 8
+    # Trajectory quality preserved (BA must not wreck the VO estimate).
+    ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
+    assert ate < 0.45, ate
+    # Landmarks live in front of the cameras, at sane depths.
+    lms = np.stack(list(sys_.backend.landmarks.values()))
+    T_cw = np.linalg.inv(sys_.backend.kf_poses[-1])
+    pc = lms @ T_cw[:3, :3].T + T_cw[:3, 3]
+    assert np.median(pc[:, 2]) > 1.0
