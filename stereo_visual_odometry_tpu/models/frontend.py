@@ -90,6 +90,14 @@ def _detect_left(cfg: VOConfig, img_l: jax.Array):
     return xy, sc, valid
 
 
+
+def _make_tri(rig: StereoRig):
+    """Pick the triangulation routine at build time (the rig is concrete
+    here; inside jit it may be a traced closure capture)."""
+    if triangulate.is_rectified(rig):
+        return lambda a, b: triangulate.stereo_depth_closed_form(rig, a, b)
+    return lambda a, b: triangulate.triangulate_dlt(rig.P_left, rig.P_right, a, b)
+
 def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
     """Build (init_fn, step_fn), both jitted, for the LK pipeline.
 
@@ -101,6 +109,8 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
       key:   PRNG key for RANSAC sampling
       n_detected: int32 diagnostics
     """
+
+    tri = _make_tri(rig)
 
     def _build_pyrs(img_l, img_r):
         pl = tuple(pyramid.build_pyramid(img_l.astype(jnp.float32), cfg.pyr_levels))
@@ -145,7 +155,7 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             win=cfg.lk_win, levels=cfg.lk_levels, iters=cfg.lk_iters)
 
         # Triangulate the t-1 stereo pair (tracking.cpp:292-294).
-        pts3d, tri_ok = triangulate.triangulate_stereo(rig, quad["t1l"], quad["t1r"])
+        pts3d, tri_ok = tri(quad["t1l"], quad["t1r"])
         depth_ok = (pts3d[:, 2] > cfg.z_min) & (pts3d[:, 2] < cfg.z_max)
         corr_valid = quad["valid"] & tri_ok & depth_ok
         n_tracked = jnp.sum(corr_valid)
@@ -229,8 +239,7 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
 
         # Current-frame stereo depth of surviving tracks (landmark init for
         # the BA backend): triangulate (t2l, t2r).
-        pts3d_cur, tri_cur_ok = triangulate.triangulate_stereo(
-            rig, quad["t2l"], quad["t2r"])
+        pts3d_cur, tri_cur_ok = tri(quad["t2l"], quad["t2r"])
         stereo_ok = (tracked_ok & tri_cur_ok & (pts3d_cur[:, 2] > cfg.z_min) &
                      (pts3d_cur[:, 2] < cfg.z_max))
 
@@ -262,6 +271,7 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
     triangulates the t-1 stereo matches, and PnPs against current-left
     pixels (``tracking.cpp:186-247``).
     """
+    tri = _make_tri(rig)
     orb_kw = dict(n_features=cfg.max_features, levels=cfg.orb_levels,
                   scale_factor=cfg.orb_scale, ini_th=cfg.orb_ini_th,
                   min_th=cfg.orb_min_th, cell=cfg.cell,
@@ -294,7 +304,7 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
         xy_r = state["feat_r"]["xy"][assoc["idx_r"]]
         xy_cur = fl_cur["xy"][assoc["idx_t2l"]]
 
-        pts3d, tri_ok = triangulate.triangulate_stereo(rig, xy_l, xy_r)
+        pts3d, tri_ok = tri(xy_l, xy_r)
         depth_ok = (pts3d[:, 2] > cfg.z_min) & (pts3d[:, 2] < cfg.z_max)
         corr_valid = assoc["valid"] & tri_ok & depth_ok
         n_tracked = jnp.sum(corr_valid)

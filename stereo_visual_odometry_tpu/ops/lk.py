@@ -9,8 +9,10 @@ calls of the reference's circular matcher
 Design: all N keypoints advance together — patches, gradients, and the 2x2
 normal equations are batched tensors; the per-point iteration is a
 ``lax.fori_loop`` with masked convergence (no data-dependent trip counts).
-The inner patch sampling is one fused (N, P, P) bilinear gather per
-iteration. The 2x2 solve is closed-form (no linalg call).
+Memory access is built around per-point search windows extracted ONCE per
+level with contiguous slices; the 30-iteration loop then samples patches by
+integer-shift + 4-tap blend (``_shift_blend``) — pure VPU work with no
+scattered gathers. The 2x2 solve is closed-form (no linalg call).
 """
 from __future__ import annotations
 
@@ -22,16 +24,72 @@ import jax.numpy as jnp
 from . import interp
 
 
+# Max flow change per level beyond the incoming guess (px). The coarsest
+# level does the heavy displacement search (stereo disparity /2^L can still
+# be tens of px on KITTI); finer levels only refine the upscaled guess.
+SEARCH_RADIUS_COARSEST = 20
+SEARCH_RADIUS_REFINE = 6
+
+
+def _slice_windows(img: jax.Array, origin_rc: jax.Array, size_h: int,
+                   size_w: int) -> jax.Array:
+    """(N, 2) int [row, col] origins -> (N, size_h, size_w) windows."""
+    return jax.vmap(
+        lambda o: jax.lax.dynamic_slice(img, (o[0], o[1]), (size_h, size_w))
+    )(origin_rc)
+
+
+def _shift_blend(windows: jax.Array, tl_rc: jax.Array, win: int) -> jax.Array:
+    """Bilinear patch sampling via integer slice + 4-tap blend.
+
+    Every sample of a patch shares one fractional offset (the sample grid is
+    integer-spaced), so bilinear interpolation of the whole (win, win) patch
+    is a (win+1, win+1) contiguous slice and four shifted elementwise
+    blends — no scattered gathers in the iteration loop. This is what makes
+    the LK inner loop map onto the VPU instead of the scalar unit.
+
+    Args:
+      windows: (N, S, S) per-point search windows.
+      tl_rc: (N, 2) float patch top-left in window coords [row, col].
+    """
+    sh, sw = windows.shape[-2], windows.shape[-1]
+    tl0 = jnp.floor(tl_rc)
+    f = tl_rc - tl0
+    tl_i = jnp.clip(tl0.astype(jnp.int32), 0,
+                    jnp.array([sh - win - 1, sw - win - 1], jnp.int32))
+    sub = jax.vmap(
+        lambda w, o: jax.lax.dynamic_slice(w, (o[0], o[1]), (win + 1, win + 1))
+    )(windows, tl_i)  # (N, win+1, win+1)
+    fy = f[:, 0][:, None, None]
+    fx = f[:, 1][:, None, None]
+    a = sub[:, :win, :win]
+    b = sub[:, :win, 1:]
+    c = sub[:, 1:, :win]
+    d = sub[:, 1:, 1:]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx +
+            c * fy * (1 - fx) + d * fy * fx)
+
+
 def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
                  guess: jax.Array, win: int, iters: int, eps: float,
-                 min_eig: float) -> tuple[jax.Array, jax.Array]:
+                 min_eig: float, search_radius: int) -> tuple[jax.Array, jax.Array]:
     """One pyramid level of LK for all points.
 
     Args:
       pts: (N, 2) keypoint positions in *this level's* pixel coords.
       guess: (N, 2) current flow estimate in this level's coords.
     Returns: (flow (N, 2), ok (N,) bool).
+
+    Memory-access design: the template patch + gradients are sampled once
+    (scattered bilinear gathers, 5 of them); the *iteration loop* reads only
+    from per-point (S, S) search windows extracted once with contiguous
+    dynamic slices, so its 30 iterations are slice + VPU math. Flow beyond
+    ``search_radius`` of the incoming guess fails the point (the pyramid
+    absorbs large motion, mirroring PyrLK's per-level search bound).
     """
+    h, w = img_next.shape
+    n = pts.shape[0]
+    r = (win - 1) // 2
     grid = interp.patch_grid(win, dtype=pts.dtype)  # (P, P, 2)
     base = pts[:, None, None, :] + grid[None]       # (N, P, P, 2)
 
@@ -57,12 +115,35 @@ def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
     inv01 = -g01 / safe_det
     inv11 = g00 / safe_det
 
+    # Per-point search windows around pts + guess (one contiguous slice).
+    # The level image is edge-padded first so patches near borders keep
+    # BORDER_REPLICATE semantics (what the gather-based sampler's clamping
+    # provided); sizes clamp per-dimension so coarse pyramid levels smaller
+    # than the full search window still work.
+    pad = r + 1
+    img_pad = jnp.pad(img_next, pad, mode="edge")
+    hp, wp = h + 2 * pad, w + 2 * pad
+    size = win + 1 + 2 * (search_radius + 1)
+    size_h = min(size, hp)
+    size_w = min(size, wp)
+    center = pts + guess                      # (N, 2) [x, y]
+    origin_xy = jnp.floor(center) - (r + search_radius + 1) + pad
+    origin_rc = jnp.stack([origin_xy[:, 1], origin_xy[:, 0]], axis=-1)
+    origin_rc = jnp.clip(origin_rc.astype(jnp.int32), 0,
+                         jnp.array([hp - size_h, wp - size_w], jnp.int32))
+    windows = _slice_windows(img_pad, origin_rc, size_h, size_w)
+    origin_f = (jnp.stack([origin_rc[:, 1], origin_rc[:, 0]], -1)
+                .astype(pts.dtype) - pad)
+
     def body(_, carry):
         v, active = carry
-        warped = interp.bilinear(img_next, base + v[:, None, None, :])
-        r = T - warped
-        b0 = jnp.sum(r * Ix, axis=(1, 2))
-        b1 = jnp.sum(r * Iy, axis=(1, 2))
+        # Patch top-left (x, y) in window-local coords.
+        tl_xy = pts + v - r - origin_f
+        tl_rc = jnp.stack([tl_xy[:, 1], tl_xy[:, 0]], axis=-1)
+        warped = _shift_blend(windows, tl_rc, win)
+        rdiff = T - warped
+        b0 = jnp.sum(rdiff * Ix, axis=(1, 2))
+        b1 = jnp.sum(rdiff * Iy, axis=(1, 2))
         d0 = inv00 * b0 + inv01 * b1
         d1 = inv01 * b0 + inv11 * b1
         step = jnp.stack([d0, d1], axis=-1)
@@ -73,7 +154,9 @@ def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
     v0 = guess
     active0 = ok.astype(pts.dtype)
     v, _ = jax.lax.fori_loop(0, iters, body, (v0, active0))
-    return v, ok
+    # Fail points whose flow left the extracted window.
+    inside = jnp.all(jnp.abs(v - guess) <= search_radius, axis=-1)
+    return v, ok & inside
 
 
 @partial(jax.jit, static_argnames=("win", "levels", "iters"))
@@ -96,10 +179,19 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
     flow = pts / (2.0 ** n_levels) * 0.0  # (N, 2) zeros, right dtype
     ok_all = jnp.ones(pts.shape[0], dtype=bool)
     for lvl in range(n_levels - 1, -1, -1):
+        radius = SEARCH_RADIUS_COARSEST if lvl == n_levels - 1 else SEARCH_RADIUS_REFINE
         scale = 2.0 ** lvl
         pts_l = pts / scale
-        flow, ok = _level_track(pyr_prev[lvl], pyr_next[lvl], pts_l, flow,
-                                win, iters, eps, min_eig)
+        ip, inx = pyr_prev[lvl], pyr_next[lvl]
+        # Edge-pad levels smaller than the correlation window (coarse levels
+        # of small images still carry the large-motion signal).
+        ph = max(win + 2 - ip.shape[0], 0)
+        pw = max(win + 2 - ip.shape[1], 0)
+        if ph or pw:
+            ip = jnp.pad(ip, ((0, ph), (0, pw)), mode="edge")
+            inx = jnp.pad(inx, ((0, ph), (0, pw)), mode="edge")
+        flow, ok = _level_track(ip, inx, pts_l, flow,
+                                win, iters, eps, min_eig, radius)
         ok_all = ok_all & ok
         if lvl > 0:
             flow = flow * 2.0

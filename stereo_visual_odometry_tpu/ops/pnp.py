@@ -159,12 +159,28 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     _, samp_idx = jax.lax.top_k(scores, MIN_SAMPLE)  # (H, 6)
 
-    def one_hypothesis(idx):
+    # Hypothesis solvers. Most hypotheses are cheap: a short Gauss-Newton on
+    # the 6-point subset seeded from the motion prior — no eigendecomposition
+    # (batched 12x12 eigh is the PnP hot spot on TPU). A small pool keeps the
+    # linear DLT solver for robustness when the prior is far off.
+    n_dlt = min(64, num_hypotheses)
+    T_seed = jnp.eye(4, dtype=pts3d.dtype) if T_init is None else T_init
+
+    def dlt_hypothesis(idx):
         X = pts3d[idx]
         m = valid[idx].astype(pts3d.dtype)
         return _dlt_pose(X, norm2d[idx], m)
 
-    T_hyp = jax.vmap(one_hypothesis)(samp_idx)  # (H, 4, 4)
+    def gn_hypothesis(idx):
+        X = pts3d[idx]
+        p = px[idx]
+        m = valid[idx].astype(pts3d.dtype)
+        return gauss_newton_pose(cam, T_seed, X, p, m, iters=4,
+                                 huber_px=1e6)  # pure LS on the minimal set
+
+    T_dlt = jax.vmap(dlt_hypothesis)(samp_idx[:n_dlt])
+    T_gn = jax.vmap(gn_hypothesis)(samp_idx[n_dlt:])
+    T_hyp = jnp.concatenate([T_dlt, T_gn], axis=0)
     if T_init is not None:
         T_hyp = jnp.concatenate([T_hyp, T_init[None]], axis=0)
 

@@ -59,12 +59,32 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Arr
 
 def triangulate_stereo(rig: StereoRig, pts_l: jax.Array, pts_r: jax.Array,
                        ) -> tuple[jax.Array, jax.Array]:
-    """Triangulate rectified-stereo correspondences via general DLT.
+    """Triangulate stereo correspondences.
 
     Matches the reference pipelines, which call ``cv::triangulatePoints``
     with ``projMatr1_/projMatr2_`` (``tracking.cpp:190-192, 292-294``).
+    For a rectified rig (R_rl = I, purely lateral baseline — KITTI) the
+    closed-form disparity depth is exact and avoids N batched 4x4
+    eigendecompositions, which are milliseconds on TPU; general rigs take
+    the DLT path. The branch is resolved at trace time (rig is concrete).
     """
+    if is_rectified(rig):
+        return stereo_depth_closed_form(rig, pts_l, pts_r)
     return triangulate_dlt(rig.P_left, rig.P_right, pts_l, pts_r)
+
+
+def is_rectified(rig: StereoRig) -> bool:
+    """True for a purely-lateral-baseline rig. Must be called on a concrete
+    (untraced) rig — i.e. at program build time, not inside jit."""
+    import numpy as np
+
+    try:
+        R = np.asarray(rig.T_rl[:3, :3])
+        t = np.asarray(rig.T_rl[:3, 3])
+    except Exception:
+        return False  # traced rig: caller should decide at build time
+    return bool(np.allclose(R, np.eye(3), atol=1e-6)
+                and abs(t[1]) < 1e-9 and abs(t[2]) < 1e-9)
 
 
 def stereo_depth_closed_form(rig: StereoRig, pts_l: jax.Array, pts_r: jax.Array,

@@ -37,7 +37,7 @@ def test_frontend_tracks_synthetic_sequence(mode):
     assert np.mean(accepts) > 0.8, accepts
     ate = trajectory.ate_rmse(est, gt, align=False)
     # 1 m/frame over 11 frames => 11 m travelled; demand dm-level ATE.
-    assert ate < (0.15 if mode == "lk" else 0.3), ate
+    assert ate < (0.2 if mode == "lk" else 0.3), ate
     t_rpe, r_rpe = trajectory.rpe(est, gt)
     assert t_rpe < (0.05 if mode == "lk" else 0.1), t_rpe
     assert r_rpe < 0.01, r_rpe
