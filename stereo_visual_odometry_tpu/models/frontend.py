@@ -75,6 +75,8 @@ class VOConfig:
     # BA backend; the reference re-detects from scratch every frame).
     persistent_tracks: bool = False
     replenish_min_dist: float = 8.0   # px spacing for new detections
+    # LK backend: "auto" = Pallas kernel on TPU, XLA formulation on CPU.
+    lk_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
 
 
 # Tracking status values (``tracking.h:22-27``).
@@ -111,6 +113,8 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
     """
 
     tri = _make_tri(rig)
+    use_pallas = (lk.use_pallas_default() if cfg.lk_backend == "auto"
+                  else cfg.lk_backend == "pallas")
 
     def _build_pyrs(img_l, img_r):
         pl = tuple(pyramid.build_pyramid(img_l.astype(jnp.float32), cfg.pyr_levels))
@@ -152,7 +156,8 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             state["kp"], state["kp_valid"],
             feature_match_error=cfg.feature_match_error,
             cycle_error=cfg.cycle_error,
-            win=cfg.lk_win, levels=cfg.lk_levels, iters=cfg.lk_iters)
+            win=cfg.lk_win, levels=cfg.lk_levels, iters=cfg.lk_iters,
+            use_pallas=use_pallas)
 
         # Triangulate the t-1 stereo pair (tracking.cpp:292-294).
         pts3d, tri_ok = tri(quad["t1l"], quad["t1r"])

@@ -159,10 +159,19 @@ def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
     return v, ok & inside
 
 
-@partial(jax.jit, static_argnames=("win", "levels", "iters"))
+def use_pallas_default() -> bool:
+    """Pallas LK on real TPU backends; XLA formulation on CPU."""
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("win", "levels", "iters", "eps", "min_eig", "use_pallas"))
 def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
           win: int = 21, levels: int = 3, iters: int = 30, eps: float = 0.01,
-          min_eig: float = 1e-4) -> tuple[jax.Array, jax.Array]:
+          min_eig: float = 1e-4, use_pallas: bool = False,
+          ) -> tuple[jax.Array, jax.Array]:
     """Track N points from prev to next through a factor-2 pyramid.
 
     Args:
@@ -176,7 +185,18 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
       (mirrors PyrLK's status output consumed at ``tracking.cpp:623-649``).
     """
     n_levels = min(levels, len(pyr_prev))
-    flow = pts / (2.0 ** n_levels) * 0.0  # (N, 2) zeros, right dtype
+    n = pts.shape[0]
+    # Pallas kernel wants a block-divisible point count.
+    n_pad = 0
+    if use_pallas:
+        from . import lk_pallas
+
+        n_pad = (-n) % lk_pallas.BLK
+        if n_pad:
+            pts = jnp.concatenate(
+                [pts, jnp.zeros((n_pad, 2), pts.dtype)], axis=0)
+
+    flow = pts * 0.0  # (N, 2) zeros, right dtype
     ok_all = jnp.ones(pts.shape[0], dtype=bool)
     for lvl in range(n_levels - 1, -1, -1):
         radius = SEARCH_RADIUS_COARSEST if lvl == n_levels - 1 else SEARCH_RADIUS_REFINE
@@ -190,8 +210,16 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
         if ph or pw:
             ip = jnp.pad(ip, ((0, ph), (0, pw)), mode="edge")
             inx = jnp.pad(inx, ((0, ph), (0, pw)), mode="edge")
-        flow, ok = _level_track(ip, inx, pts_l, flow,
-                                win, iters, eps, min_eig, radius)
+        if use_pallas:
+            pad = (win - 1) // 2 + 2
+            ipp = jnp.pad(ip, pad, mode="edge")
+            inxp = jnp.pad(inx, pad, mode="edge")
+            flow, ok = lk_pallas.level_track_pallas(
+                ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps,
+                min_eig=min_eig, search_radius=radius, pad=pad)
+        else:
+            flow, ok = _level_track(ip, inx, pts_l, flow,
+                                    win, iters, eps, min_eig, radius)
         ok_all = ok_all & ok
         if lvl > 0:
             flow = flow * 2.0
@@ -199,13 +227,18 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
     h, w = pyr_next[0].shape
     inside = ((next_pts[:, 0] >= 0) & (next_pts[:, 0] <= w - 1) &
               (next_pts[:, 1] >= 0) & (next_pts[:, 1] <= h - 1))
+    if n_pad:
+        next_pts = next_pts[:n]
+        inside = inside[:n]
+        ok_all = ok_all[:n]
     return next_pts, ok_all & inside
 
 
 def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                    feature_match_error: float = 2.0,
                    cycle_error: float = 2.0,
-                   win: int = 21, levels: int = 3, iters: int = 30):
+                   win: int = 21, levels: int = 3, iters: int = 30,
+                   use_pallas: bool = False):
     """4-way circular LK: t1L -> t1R -> t2R -> t2L -> t1L.
 
     The reference's loop-consistency matching
@@ -223,7 +256,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
       dict with tracked points in each image and the combined valid mask.
     """
     pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l = pyrs
-    kw = dict(win=win, levels=levels, iters=iters)
+    kw = dict(win=win, levels=levels, iters=iters, use_pallas=use_pallas)
     p_t1r, ok1 = track(pyr_t1l, pyr_t1r, pts_t1l, **kw)
     p_t2r, ok2 = track(pyr_t1r, pyr_t2r, p_t1r, **kw)
     p_t2l, ok3 = track(pyr_t2r, pyr_t2l, p_t2r, **kw)

@@ -1,0 +1,74 @@
+"""Pallas LK kernel parity vs the XLA formulation (interpret mode on CPU)."""
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.ops import lk, lk_pallas, pyramid
+
+RNG = np.random.default_rng(11)
+
+
+def textured(h=128, w=192):
+    img = (RNG.random((h, w)) * 255).astype(np.float32)
+    return cv2.GaussianBlur(img, (7, 7), 2.0)
+
+
+def shift(img, dx, dy):
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+def test_pallas_level_matches_xla_level():
+    img0 = textured()
+    img1 = shift(img0, 2.7, -1.4)
+    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
+                   np.float32)
+    n = len(pts) - len(pts) % lk_pallas.BLK
+    pts = jnp.asarray(pts[:n])
+    guess = jnp.zeros_like(pts)
+
+    f_x, ok_x = lk._level_track(jnp.asarray(img0), jnp.asarray(img1), pts, guess,
+                                21, 30, 0.01, 1e-4, 6)
+    pad = 12
+    ip = jnp.pad(jnp.asarray(img0), pad, mode="edge")
+    inx = jnp.pad(jnp.asarray(img1), pad, mode="edge")
+    f_p, ok_p = lk_pallas.level_track_pallas(ip, inx, pts, guess, win=21,
+                                             iters=30, search_radius=6, pad=pad,
+                                             interpret=True)
+    ok_both = np.asarray(ok_x) & np.asarray(ok_p)
+    assert ok_both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(f_x)[ok_both] - np.asarray(f_p)[ok_both], axis=1)
+    assert np.max(d) < 0.05, d.max()
+    # And both recover the true shift.
+    err = np.linalg.norm(np.asarray(f_p)[ok_both] - [2.7, -1.4], axis=1)
+    assert np.median(err) < 0.1
+
+
+def test_pallas_full_track_parity():
+    img0 = textured(160, 224)
+    img1 = shift(img0, 6.0, 3.5)
+    pts = np.array([(x, y) for y in range(40, 120, 24) for x in range(40, 180, 24)],
+                   np.float32)
+    p0 = tuple(pyramid.build_pyramid(jnp.asarray(img0), 4))
+    p1 = tuple(pyramid.build_pyramid(jnp.asarray(img1), 4))
+    # interpret-mode pallas via monkeypatched call path
+    import stereo_visual_odometry_tpu.ops.lk_pallas as lp
+    orig = lp.level_track_pallas
+
+    def interp_version(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    lp.level_track_pallas = interp_version
+    try:
+        n_p, ok_p = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=True)
+    finally:
+        lp.level_track_pallas = orig
+    n_x, ok_x = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=False)
+    both = np.asarray(ok_p) & np.asarray(ok_x)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(n_p)[both] - np.asarray(n_x)[both], axis=1)
+    assert np.max(d) < 0.1, d.max()
+    err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
+    assert np.median(err) < 0.2
