@@ -365,3 +365,31 @@ def make_frontend(cfg: VOConfig, rig: StereoRig):
     if cfg.mode == "orb":
         return make_orb_frontend(cfg, rig)
     raise ValueError(f"unknown mode {cfg.mode!r} (expected 'lk' or 'orb')")
+
+
+def make_chunked_frontend(cfg: VOConfig, rig: StereoRig):
+    """(init_fn, chunk_fn): advance a whole frame chunk in ONE dispatch.
+
+    ``chunk_fn(state, imgs_l (T, H, W), imgs_r (T, H, W))`` scans the
+    per-frame step over the chunk on device and returns (state, metrics with
+    leading T axis). Amortizes host->device dispatch latency over T frames —
+    the offline-throughput mode (per-frame host control flow stays available
+    through the plain frontend).
+    """
+    init_fn, step_fn = make_frontend(cfg, rig)
+
+    keep = ("T_21", "accept", "n_tracked", "n_inliers", "inlier_ratio",
+            "t_norm", "n_detected")
+
+    @jax.jit
+    def chunk_fn(state, imgs_l, imgs_r):
+        def body(carry, xs):
+            il, ir = xs
+            carry, m = step_fn(carry, il, ir)
+            small = {k: m[k] for k in keep if k in m}
+            small["T_wc"] = carry["T_wc"]
+            return carry, small
+
+        return jax.lax.scan(body, state, (imgs_l, imgs_r))
+
+    return init_fn, chunk_fn

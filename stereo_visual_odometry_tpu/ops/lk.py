@@ -211,9 +211,14 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
             ip = jnp.pad(ip, ((0, ph), (0, pw)), mode="edge")
             inx = jnp.pad(inx, ((0, ph), (0, pw)), mode="edge")
         if use_pallas:
+            # Mosaic alignment: padded height multiple of 8, width multiple
+            # of 128 (extra pad goes bottom/right; coords shift by `pad`).
             pad = (win - 1) // 2 + 2
-            ipp = jnp.pad(ip, pad, mode="edge")
-            inxp = jnp.pad(inx, pad, mode="edge")
+            eh = (-(ip.shape[0] + 2 * pad)) % 8
+            ew = (-(ip.shape[1] + 2 * pad)) % 128
+            pads = ((pad, pad + eh), (pad, pad + ew))
+            ipp = jnp.pad(ip, pads, mode="edge")
+            inxp = jnp.pad(inx, pads, mode="edge")
             flow, ok = lk_pallas.level_track_pallas(
                 ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps,
                 min_eig=min_eig, search_radius=radius, pad=pad)

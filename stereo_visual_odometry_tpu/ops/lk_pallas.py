@@ -3,20 +3,19 @@
 The XLA formulation of ``lk._level_track`` extracts per-point search windows
 with vmapped dynamic slices — XLA lowers those to gathers, which scalarize
 on TPU (~0.5 s per track call at 1024 points, 95% of the VO step). Here the
-whole level fits in VMEM (a padded KITTI frame is ~2 MB against ~16 MB
-VMEM), so the kernel reads both images as full VMEM blocks and every
-keypoint's sampling is a cheap VMEM dynamic slice:
+whole level lives in VMEM (a padded KITTI frame is ~2 MB against ~16 MB
+VMEM) and every patch access is a direct ``pl.ds`` ref slice:
 
 * grid over keypoint blocks (BLK points per program);
-* per point: one (TS, TS) template slice -> bilinear field -> template patch
-  + gradients (the 2x2 normal matrix is computed once);
-* the iteration loop samples the warped patch by integer slice + 4-tap
+* per point: one (win+3)^2 ref slice -> bilinear field -> template patch +
+  gradients (the 2x2 normal matrix is computed once);
+* the iteration loop samples the warped patch by integer ref slice + 4-tap
   blend (all patch samples share one fractional offset) and updates the
-  flow scalars — pure VPU work, nothing touches HBM.
+  flow scalars — pure VPU work against VMEM.
 
 Numerics match ``lk._level_track`` (same template gradients, same masked
-convergence, same search-radius semantics); ``tests/test_lk_pallas.py``
-asserts agreement in interpret mode.
+convergence, same search-radius gate); ``tests/test_lk_pallas.py`` asserts
+agreement in interpret mode.
 """
 from __future__ import annotations
 
@@ -40,28 +39,49 @@ def _blend4(sub: jax.Array, fy, fx) -> jax.Array:
             c * fy * (1 - fx) + d * fy * fx)
 
 
-def _make_kernel(win: int, ws: int, iters: int, eps: float, min_eig: float):
+def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
+                 min_eig: float):
     r = (win - 1) // 2
-    ts = win + 4  # template slice: win+3 bilinear field + 1 for floor
+    # Mosaic requires provably-aligned dynamic vector-load starts: load an
+    # (R8, C128)-aligned block and rotate the sub-tile remainder into place.
+    # hp must be a multiple of 8 and wp a multiple of 128 (the caller pads).
+    assert hp % 8 == 0 and (wp % 128 == 0 or wp < 256), (hp, wp)
+    R8 = ((win + 3 + 7) // 8 + 1) * 8          # rows: win+3 plus <8 slack
+    C128 = 256 if wp >= 256 else wp            # cols: 128-aligned start or 0
 
-    def kernel(pts_ref, trel_ref, wrel_ref, tori_ref, wori_ref,
+    def aligned_slice(ref, row_i, col_i, rows_out, cols_out):
+        """ref[row_i : row_i+rows_out, col_i : col_i+cols_out] via aligned
+        block load + rotate. Callers guarantee row_i <= hp-rows_out-1 and
+        col_i <= wp-cols_out-1 (their own clamps); the aligned block always
+        covers the requested window because the block start only rounds
+        DOWN and the block extends past the window end."""
+        row8 = pl.multiple_of(jnp.minimum((row_i // 8) * 8, hp - R8), 8)
+        rrem = row_i - row8
+        if C128 == wp:
+            block = ref[pl.ds(row8, R8), :]
+            crem = col_i
+        else:
+            col128 = pl.multiple_of(
+                jnp.minimum((col_i // 128) * 128, wp - C128), 128)
+            crem = col_i - col128
+            block = ref[pl.ds(row8, R8), pl.ds(col128, C128)]
+        block = pltpu.roll(block, -rrem, axis=0)
+        block = pltpu.roll(block, -crem, axis=1)
+        return block[:rows_out, :cols_out]
+
+    def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref,
                prev_ref, next_ref, flow_ref, ok_ref):
         for j in range(BLK):
-            # Template region -> bilinear field -> T, Ix, Iy.
-            t_r = tori_ref[j, 0]
-            t_c = tori_ref[j, 1]
-            tw = prev_ref[pl.ds(t_r, ts), pl.ds(t_c, ts)]
-            # Patch top-left in template-window coords (float, >= 1 by
-            # construction); the field spans offsets -1..win+1.
-            ty = trel_ref[j, 0]
-            tx = trel_ref[j, 1]
-            ty0 = jnp.floor(ty - 1.0)
-            tx0 = jnp.floor(tx - 1.0)
-            tfy = ty - 1.0 - ty0
-            tfx = tx - 1.0 - tx0
-            sub = jax.lax.dynamic_slice(
-                tw, (ty0.astype(jnp.int32), tx0.astype(jnp.int32)),
-                (win + 3, win + 3))
+            # Template: bilinear field around (prow - r - 1, pcol - r - 1).
+            py = prow_ref[j, 0]
+            px = pcol_ref[j, 0]
+            tbr = py - r - 1.0
+            tbc = px - r - 1.0
+            tr0 = jnp.clip(jnp.floor(tbr).astype(jnp.int32), 0, hp - win - 3)
+            tc0 = jnp.clip(jnp.floor(tbc).astype(jnp.int32), 0, wp - win - 3)
+            tfy = tbr - tr0.astype(jnp.float32)
+            tfx = tbc - tc0.astype(jnp.float32)
+            sub = aligned_slice(prev_ref, tr0, tc0, win + 3, win + 3)
             field = _blend4(sub, tfy, tfx)          # (win+2, win+2)
             T = field[1:-1, 1:-1]                   # (win, win)
             Ix = (field[1:-1, 2:] - field[1:-1, :-2]) * 0.5
@@ -71,31 +91,27 @@ def _make_kernel(win: int, ws: int, iters: int, eps: float, min_eig: float):
             g01 = jnp.sum(Ix * Iy)
             g11 = jnp.sum(Iy * Iy)
             det = g00 * g11 - g01 * g01
-            tr = g00 + g11
-            mev = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5 / (win * win)
+            trc = g00 + g11
+            mev = (trc - jnp.sqrt(jnp.maximum(trc * trc - 4 * det, 0.0))) * 0.5 / (win * win)
             ok = (mev > min_eig).astype(jnp.float32)
             safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
             inv00 = g11 / safe_det
             inv01 = -g01 / safe_det
             inv11 = g00 / safe_det
 
-            # Search window (ws, ws) from the next image.
-            w_r = wori_ref[j, 0]
-            w_c = wori_ref[j, 1]
-            ww = next_ref[pl.ds(w_r, ws), pl.ds(w_c, ws)]
-            # wrel = patch top-left in window coords at v = guess.
-            wy0 = wrel_ref[j, 0]
-            wx0 = wrel_ref[j, 1]
+            # Iterate the flow delta from the incoming guess.
+            gy = grow_ref[j, 0]
+            gx = gcol_ref[j, 0]
 
             def body(_, carry):
                 vy, vx, active = carry
-                tly = wy0 + vy
-                tlx = wx0 + vx
-                iy = jnp.clip(jnp.floor(tly).astype(jnp.int32), 0, ws - win - 1)
-                ix = jnp.clip(jnp.floor(tlx).astype(jnp.int32), 0, ws - win - 1)
-                fy = tly - iy.astype(jnp.float32)
-                fx = tlx - ix.astype(jnp.float32)
-                sub = jax.lax.dynamic_slice(ww, (iy, ix), (win + 1, win + 1))
+                br = py + gy + vy - r
+                bc = px + gx + vx - r
+                iy = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, hp - win - 1)
+                ix = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, wp - win - 1)
+                fy = br - iy.astype(jnp.float32)
+                fx = bc - ix.astype(jnp.float32)
+                sub = aligned_slice(next_ref, iy, ix, win + 1, win + 1)
                 warped = _blend4(sub, fy, fx)
                 rdiff = T - warped
                 b0 = jnp.sum(rdiff * Ix)
@@ -116,8 +132,10 @@ def _make_kernel(win: int, ws: int, iters: int, eps: float, min_eig: float):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("win", "iters", "eps", "min_eig", "search_radius", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "iters", "eps", "min_eig", "search_radius",
+                     "interpret"))
 def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
                        pts: jax.Array, guess: jax.Array, win: int = 21,
                        iters: int = 30, eps: float = 0.01, min_eig: float = 1e-4,
@@ -129,50 +147,36 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
       img_prev_pad / img_next_pad: (Hp, Wp) float32, edge-padded by ``pad``.
       pts: (N, 2) [x, y] level coords (unpadded frame).
       guess: (N, 2) incoming flow.
-    Returns: (flow (N, 2) — relative to pts, i.e. guess+delta; ok (N,)).
+    Returns: (flow (N, 2) — guess + found delta; ok (N,) bool).
     """
     n = pts.shape[0]
     assert n % BLK == 0, n
     hp, wp = img_prev_pad.shape
-    r = (win - 1) // 2
-    ts = win + 4
-    ws = min(win + 1 + 2 * (search_radius + 1), hp, wp)
 
-    # Template origin: floor(pts) - r - 2 in padded coords, clamped.
-    tori = jnp.floor(pts[:, ::-1]) - (r + 2) + pad  # (N, 2) [row, col]
-    tori = jnp.clip(tori.astype(jnp.int32), 0,
-                    jnp.array([hp - ts, wp - ts], jnp.int32))
-    # Patch top-left (pts - r) in template-window local float coords.
-    trel = (pts[:, ::-1] - r + pad) - tori.astype(pts.dtype)  # (N, 2) [row, col]
+    # Padded-image coordinates, split into column vectors for SMEM blocks.
+    prow = (pts[:, 1:2] + pad).astype(jnp.float32)
+    pcol = (pts[:, 0:1] + pad).astype(jnp.float32)
+    grow = guess[:, 1:2].astype(jnp.float32)
+    gcol = guess[:, 0:1].astype(jnp.float32)
 
-    # Search-window origin around pts + guess.
-    center = pts + guess
-    wori = jnp.floor(center[:, ::-1]) - (r + search_radius + 1) + pad
-    wori = jnp.clip(wori.astype(jnp.int32), 0,
-                    jnp.array([hp - ws, wp - ws], jnp.int32))
-    # Patch top-left in window coords when v = 0 relative to guess... the
-    # kernel iterates v from 0 and adds to (pts + guess - r) local coords.
-    wrel = (center[:, ::-1] - r + pad) - wori.astype(pts.dtype)
-
-    kernel = _make_kernel(win, ws, iters, eps, min_eig)
+    kernel = _make_kernel(win, hp, wp, iters, eps, min_eig)
     grid = (n // BLK,)
-    blk2 = lambda: pl.BlockSpec((BLK, 2), lambda i: (i, 0),
+    blk1 = lambda: pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM)
     flow_d, ok_d = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk2(), blk2(), blk2(), blk2(), blk2(),
+        in_specs=[blk1(), blk1(), blk1(), blk1(),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((BLK, 2), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
+                                memory_space=pltpu.SMEM),
                    pl.BlockSpec((BLK, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
+                                memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((n, 2), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)),
         interpret=interpret,
-    )(pts.astype(jnp.float32), trel.astype(jnp.float32),
-      wrel.astype(jnp.float32), tori, wori,
+    )(prow, pcol, grow, gcol,
       img_prev_pad.astype(jnp.float32), img_next_pad.astype(jnp.float32))
 
     flow = guess + flow_d  # kernel iterates the delta from the guess

@@ -1,0 +1,38 @@
+"""Chunked on-device scan must match the per-frame host loop."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.models import frontend
+from stereo_visual_odometry_tpu.ops.camera import Pinhole, StereoRig
+from stereo_visual_odometry_tpu.utils import synthetic
+
+
+def test_chunked_matches_per_frame():
+    seq = synthetic.render_sequence(n_frames=6, h=192, w=256, fx=300.0, speed=1.0)
+    rp = seq["rig"]
+    cam = Pinhole.create(rp["fx"], rp["fy"], rp["cx"], rp["cy"])
+    rig = StereoRig.create(cam, cam, t_rl=[-rp["baseline"], 0, 0])
+    cfg = frontend.VOConfig(mode="lk", height=192, width=256, max_features=256,
+                            num_hypotheses=128, min_features_track=8,
+                            min_inlier_rate=0.3)
+    key = jax.random.PRNGKey(0)
+
+    init_fn, step_fn = frontend.make_frontend(cfg, rig)
+    st = init_fn(jnp.asarray(seq["images_l"][0]), jnp.asarray(seq["images_r"][0]), key)
+    for f in range(1, 6):
+        st, _ = step_fn(st, jnp.asarray(seq["images_l"][f]),
+                        jnp.asarray(seq["images_r"][f]))
+    T_loop = np.asarray(st["T_wc"])
+
+    init2, chunk_fn = frontend.make_chunked_frontend(cfg, rig)
+    st2 = init2(jnp.asarray(seq["images_l"][0]), jnp.asarray(seq["images_r"][0]), key)
+    st2, m = chunk_fn(st2, jnp.asarray(seq["images_l"][1:]),
+                      jnp.asarray(seq["images_r"][1:]))
+    T_chunk = np.asarray(st2["T_wc"])
+
+    np.testing.assert_allclose(T_chunk, T_loop, atol=1e-4)
+    assert m["T_wc"].shape == (5, 4, 4)
+    assert m["accept"].shape == (5,)
+    # Per-frame poses from the scan match the final state chain.
+    np.testing.assert_allclose(np.asarray(m["T_wc"])[-1], T_chunk, atol=1e-6)
