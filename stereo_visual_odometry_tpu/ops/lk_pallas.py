@@ -39,38 +39,47 @@ def _blend4(sub: jax.Array, fy, fx) -> jax.Array:
             c * fy * (1 - fx) + d * fy * fx)
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
-                 min_eig: float):
+                 min_eig: float, radius: int):
     r = (win - 1) // 2
+    # Per-point staged search span: all iteration windows live inside
+    # [center - r - radius - 1, ...] of extent win+1+2(radius+1).
+    span = win + 1 + 2 * (radius + 1)
+    R_SCR = min(_ceil_to(span, 8), hp)        # capped at the (padded) image
+    C_SCR = min(_ceil_to(span, 64), (wp // 64) * 64)
     # Mosaic requires provably-aligned dynamic vector-load starts: load an
-    # (R8, C128)-aligned block and rotate the sub-tile remainder into place.
+    # aligned block sized for the request and rotate the remainder in.
     # hp must be a multiple of 8 and wp a multiple of 128 (the caller pads).
     assert hp % 8 == 0 and (wp % 128 == 0 or wp < 256), (hp, wp)
-    R8 = ((win + 3 + 7) // 8 + 1) * 8          # rows: win+3 plus <8 slack
-    C128 = 256 if wp >= 256 else wp            # cols: 128-aligned start or 0
 
     def aligned_slice(ref, row_i, col_i, rows_out, cols_out):
         """ref[row_i : row_i+rows_out, col_i : col_i+cols_out] via aligned
-        block load + rotate. Callers guarantee row_i <= hp-rows_out-1 and
-        col_i <= wp-cols_out-1 (their own clamps); the aligned block always
-        covers the requested window because the block start only rounds
-        DOWN and the block extends past the window end."""
+        block load + rotate. Callers guarantee row_i <= hp-rows_out and
+        col_i <= wp-cols_out (their own clamps); the aligned block always
+        covers the requested window because its start only rounds DOWN
+        while it extends past the window end."""
+        R8 = min(_ceil_to(rows_out, 8) + 8, hp)
         row8 = pl.multiple_of(jnp.minimum((row_i // 8) * 8, hp - R8), 8)
         rrem = row_i - row8
-        if C128 == wp:
+        if wp < 256:
             block = ref[pl.ds(row8, R8), :]
             crem = col_i
         else:
+            assert cols_out + 128 <= 256, cols_out
             col128 = pl.multiple_of(
-                jnp.minimum((col_i // 128) * 128, wp - C128), 128)
+                jnp.minimum((col_i // 128) * 128, wp - 256), 128)
             crem = col_i - col128
-            block = ref[pl.ds(row8, R8), pl.ds(col128, C128)]
+            block = ref[pl.ds(row8, R8), pl.ds(col128, 256)]
         block = pltpu.roll(block, -rrem, axis=0)
         block = pltpu.roll(block, -crem, axis=1)
         return block[:rows_out, :cols_out]
 
     def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref,
-               prev_ref, next_ref, flow_ref, ok_ref):
+               prev_ref, next_ref, flow_ref, ok_ref, scr_ref):
         for j in range(BLK):
             # Template: bilinear field around (prow - r - 1, pcol - r - 1).
             py = prow_ref[j, 0]
@@ -99,32 +108,56 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             inv01 = -g01 / safe_det
             inv11 = g00 / safe_det
 
-            # Iterate the flow delta from the incoming guess.
+            # Stage the whole search span for this point into scratch once:
+            # iterations then roll small (32, C_SCR) tiles instead of
+            # re-loading (32, 256) blocks from the full image.
             gy = grow_ref[j, 0]
             gx = gcol_ref[j, 0]
+            wc_r = jnp.clip(jnp.floor(py + gy).astype(jnp.int32) - r - radius - 1,
+                            0, hp - R_SCR)
+            wc_c = jnp.clip(jnp.floor(px + gx).astype(jnp.int32) - r - radius - 1,
+                            0, wp - C_SCR)
+            scr_ref[j] = aligned_slice(next_ref, wc_r, wc_c, R_SCR, C_SCR)
+            wc_rf = wc_r.astype(jnp.float32)
+            wc_cf = wc_c.astype(jnp.float32)
 
-            def body(_, carry):
-                vy, vx, active = carry
-                br = py + gy + vy - r
-                bc = px + gx + vx - r
-                iy = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, hp - win - 1)
-                ix = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, wp - win - 1)
+            def cond(carry):
+                vy, vx, active, it = carry
+                return (it < iters) & (active > 0)
+
+            def body(carry):
+                vy, vx, active, it = carry
+                # Patch top-left in scratch-local coords.
+                br = py + gy + vy - r - wc_rf
+                bc = px + gx + vx - r - wc_cf
+                iy = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, R_SCR - win - 1)
+                ix = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, C_SCR - win - 1)
                 fy = br - iy.astype(jnp.float32)
                 fx = bc - ix.astype(jnp.float32)
-                sub = aligned_slice(next_ref, iy, ix, win + 1, win + 1)
+                row8 = pl.multiple_of(
+                    jnp.minimum((iy // 8) * 8, R_SCR - 32), 8)
+                rrem = iy - row8
+                tile = scr_ref[j, pl.ds(row8, 32), :]
+                tile = pltpu.roll(tile, -rrem, axis=0)
+                tile = pltpu.roll(tile, -ix, axis=1)
+                sub = tile[:win + 1, :win + 1]
                 warped = _blend4(sub, fy, fx)
                 rdiff = T - warped
                 b0 = jnp.sum(rdiff * Ix)
                 b1 = jnp.sum(rdiff * Iy)
                 dx = inv00 * b0 + inv01 * b1
                 dy = inv01 * b0 + inv11 * b1
-                vx = vx + dx * active
-                vy = vy + dy * active
-                active = active * (dx * dx + dy * dy > eps * eps).astype(jnp.float32)
-                return vy, vx, active
+                vx = vx + dx
+                vy = vy + dy
+                active = (dx * dx + dy * dy > eps * eps).astype(jnp.float32)
+                return vy, vx, active, it + 1
 
-            vy, vx, _ = jax.lax.fori_loop(
-                0, iters, body, (jnp.float32(0.0), jnp.float32(0.0), ok))
+            # Early-exit iteration (the eps criterion of cv::calcOpticalFlowPyrLK):
+            # most points converge in <10 iterations, and the while_loop stops
+            # paying for them the moment they do.
+            vy, vx, _, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.float32(0.0), jnp.float32(0.0), ok, jnp.int32(0)))
             flow_ref[j, 0] = vx
             flow_ref[j, 1] = vy
             ok_ref[j, 0] = ok
@@ -159,7 +192,10 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     grow = guess[:, 1:2].astype(jnp.float32)
     gcol = guess[:, 0:1].astype(jnp.float32)
 
-    kernel = _make_kernel(win, hp, wp, iters, eps, min_eig)
+    kernel = _make_kernel(win, hp, wp, iters, eps, min_eig, search_radius)
+    span = win + 1 + 2 * (search_radius + 1)
+    r_scr = min(-(-span // 8) * 8, hp)
+    c_scr = min(-(-span // 64) * 64, (wp // 64) * 64)
     grid = (n // BLK,)
     blk1 = lambda: pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM)
@@ -175,6 +211,7 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((n, 2), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((BLK, r_scr, c_scr), jnp.float32)],
         interpret=interpret,
     )(prow, pcol, grow, gcol,
       img_prev_pad.astype(jnp.float32), img_next_pad.astype(jnp.float32))
