@@ -16,6 +16,9 @@ features).
 from __future__ import annotations
 
 import json
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import os
 import sys
 import time

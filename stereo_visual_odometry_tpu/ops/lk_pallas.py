@@ -50,7 +50,7 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
     # [center - r - radius - 1, ...] of extent win+1+2(radius+1).
     span = win + 1 + 2 * (radius + 1)
     R_SCR = min(_ceil_to(span, 8), hp)        # capped at the (padded) image
-    C_SCR = min(_ceil_to(span, 64), (wp // 64) * 64)
+    C_SCR = min(_ceil_to(span, 128), wp)  # lane-dim rotates need 128-aligned widths
     # Mosaic requires provably-aligned dynamic vector-load starts: load an
     # aligned block sized for the request and rotate the remainder in.
     # hp must be a multiple of 8 and wp a multiple of 128 (the caller pads).
@@ -195,7 +195,7 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     kernel = _make_kernel(win, hp, wp, iters, eps, min_eig, search_radius)
     span = win + 1 + 2 * (search_radius + 1)
     r_scr = min(-(-span // 8) * 8, hp)
-    c_scr = min(-(-span // 64) * 64, (wp // 64) * 64)
+    c_scr = min(-(-span // 128) * 128, wp)
     grid = (n // BLK,)
     blk1 = lambda: pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM)
