@@ -147,6 +147,54 @@ class System:
                           self.config.trajectory_out)
         return traj
 
+    def run_chunked(self, frames: Iterable[tuple[np.ndarray, np.ndarray]],
+                    chunk: int = 8, max_frames: int = -1) -> np.ndarray:
+        """Offline-throughput loop: scan the step over frame chunks on device
+        (one dispatch per ``chunk`` frames). Not compatible with the BA
+        backend (which needs per-frame host bookkeeping) — use ``run`` there.
+        """
+        assert self.backend is None, "chunked mode is frontend-only"
+        init_fn, chunk_fn = frontend_mod.make_chunked_frontend(self.vo_cfg, self.rig)
+        buf_l: list[np.ndarray] = []
+        buf_r: list[np.ndarray] = []
+        t_start = time.perf_counter()
+
+        def flush():
+            if not buf_l:
+                return
+            il = jnp.asarray(np.stack(buf_l))
+            ir = jnp.asarray(np.stack(buf_r))
+            if self.state is None:
+                self.key, sub = jax.random.split(self.key)
+                self.state = init_fn(il[0], ir[0], sub)
+                self.poses.append(np.asarray(self.state["T_wc"], np.float64))
+                il, ir = il[1:], ir[1:]
+                if il.shape[0] == 0:
+                    buf_l.clear(); buf_r.clear()
+                    return
+            self.state, m = chunk_fn(self.state, il, ir)
+            jax.block_until_ready(self.state["T_wc"])
+            for T in np.asarray(m["T_wc"], np.float64):
+                self.poses.append(T)
+            self.status = int(self.state["status"])
+            buf_l.clear(); buf_r.clear()
+
+        for i, (il, ir) in enumerate(frames):
+            if 0 <= max_frames <= i:
+                break
+            buf_l.append(il)
+            buf_r.append(ir)
+            if len(buf_l) == chunk + (1 if self.state is None else 0):
+                flush()
+        flush()
+        # One timing entry for the whole run keeps `fps` meaningful.
+        total = time.perf_counter() - t_start
+        self.frame_times.extend([total / max(len(self.poses), 1)] * len(self.poses))
+        traj = np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
+        if self.config.trajectory_out:
+            traj_mod.save_kitti(self.config.trajectory_out, traj)
+        return traj
+
     def run_kitti(self) -> np.ndarray:
         """Run on the configured KITTI sequence directory."""
         from ..utils.kitti import KittiStereoDataset

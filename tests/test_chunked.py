@@ -36,3 +36,24 @@ def test_chunked_matches_per_frame():
     assert m["accept"].shape == (5,)
     # Per-frame poses from the scan match the final state chain.
     np.testing.assert_allclose(np.asarray(m["T_wc"])[-1], T_chunk, atol=1e-6)
+
+
+def test_system_run_chunked_matches_run():
+    from stereo_visual_odometry_tpu.models.system import System
+    from stereo_visual_odometry_tpu.utils.config import CameraConfig, RunConfig
+
+    seq = synthetic.render_sequence(n_frames=7, h=192, w=256, fx=300.0, speed=1.0)
+    rp = seq["rig"]
+    cam_cfg = CameraConfig(fx=rp["fx"], fy=rp["fy"], cx=rp["cx"], cy=rp["cy"],
+                           baseline=rp["baseline"])
+    vo = frontend.VOConfig(mode="lk", height=192, width=256, max_features=256,
+                           num_hypotheses=128, min_features_track=8,
+                           min_inlier_rate=0.3)
+    frames = list(zip(seq["images_l"], seq["images_r"]))
+
+    s1 = System(RunConfig(camera=cam_cfg, vo=vo))
+    t1 = s1.run(frames)
+    s2 = System(RunConfig(camera=cam_cfg, vo=vo))
+    t2 = s2.run_chunked(frames, chunk=3)
+    assert t2.shape == t1.shape
+    np.testing.assert_allclose(t2, t1, atol=1e-4)
