@@ -46,11 +46,6 @@ def _ceil_to(x: int, m: int) -> int:
 def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
                  min_eig: float, radius: int):
     r = (win - 1) // 2
-    # Per-point staged search span: all iteration windows live inside
-    # [center - r - radius - 1, ...] of extent win+1+2(radius+1).
-    span = win + 1 + 2 * (radius + 1)
-    R_SCR = min(_ceil_to(span, 8), hp)        # capped at the (padded) image
-    C_SCR = min(_ceil_to(span, 128), wp)  # lane-dim rotates need 128-aligned widths
     # Mosaic requires provably-aligned dynamic vector-load starts: load an
     # aligned block sized for the request and rotate the remainder in.
     # hp must be a multiple of 8 and wp a multiple of 128 (the caller pads).
@@ -79,7 +74,7 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
         return block[:rows_out, :cols_out]
 
     def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref,
-               prev_ref, next_ref, flow_ref, ok_ref, scr_ref):
+               prev_ref, next_ref, flow_ref, ok_ref):
         for j in range(BLK):
             # Template: bilinear field around (prow - r - 1, pcol - r - 1).
             py = prow_ref[j, 0]
@@ -108,18 +103,10 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             inv01 = -g01 / safe_det
             inv11 = g00 / safe_det
 
-            # Stage the whole search span for this point into scratch once:
-            # iterations then roll small (32, C_SCR) tiles instead of
-            # re-loading (32, 256) blocks from the full image.
+            # Iterate the flow delta from the incoming guess, sampling the
+            # warped patch straight from the VMEM-resident image.
             gy = grow_ref[j, 0]
             gx = gcol_ref[j, 0]
-            wc_r = jnp.clip(jnp.floor(py + gy).astype(jnp.int32) - r - radius - 1,
-                            0, hp - R_SCR)
-            wc_c = jnp.clip(jnp.floor(px + gx).astype(jnp.int32) - r - radius - 1,
-                            0, wp - C_SCR)
-            scr_ref[j] = aligned_slice(next_ref, wc_r, wc_c, R_SCR, C_SCR)
-            wc_rf = wc_r.astype(jnp.float32)
-            wc_cf = wc_c.astype(jnp.float32)
 
             def cond(carry):
                 vy, vx, active, it = carry
@@ -127,20 +114,13 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
 
             def body(carry):
                 vy, vx, active, it = carry
-                # Patch top-left in scratch-local coords.
-                br = py + gy + vy - r - wc_rf
-                bc = px + gx + vx - r - wc_cf
-                iy = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, R_SCR - win - 1)
-                ix = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, C_SCR - win - 1)
+                br = py + gy + vy - r
+                bc = px + gx + vx - r
+                iy = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, hp - win - 1)
+                ix = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, wp - win - 1)
                 fy = br - iy.astype(jnp.float32)
                 fx = bc - ix.astype(jnp.float32)
-                row8 = pl.multiple_of(
-                    jnp.minimum((iy // 8) * 8, R_SCR - 32), 8)
-                rrem = iy - row8
-                tile = scr_ref[j, pl.ds(row8, 32), :]
-                tile = pltpu.roll(tile, -rrem, axis=0)
-                tile = pltpu.roll(tile, -ix, axis=1)
-                sub = tile[:win + 1, :win + 1]
+                sub = aligned_slice(next_ref, iy, ix, win + 1, win + 1)
                 warped = _blend4(sub, fy, fx)
                 rdiff = T - warped
                 b0 = jnp.sum(rdiff * Ix)
@@ -193,9 +173,6 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     gcol = guess[:, 0:1].astype(jnp.float32)
 
     kernel = _make_kernel(win, hp, wp, iters, eps, min_eig, search_radius)
-    span = win + 1 + 2 * (search_radius + 1)
-    r_scr = min(-(-span // 8) * 8, hp)
-    c_scr = min(-(-span // 128) * 128, wp)
     grid = (n // BLK,)
     blk1 = lambda: pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                                 memory_space=pltpu.SMEM)
@@ -211,7 +188,6 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((n, 2), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((BLK, r_scr, c_scr), jnp.float32)],
         interpret=interpret,
     )(prow, pcol, grow, gcol,
       img_prev_pad.astype(jnp.float32), img_next_pad.astype(jnp.float32))
