@@ -17,11 +17,13 @@ from . import interp
 
 
 def downsample2(img: jax.Array) -> jax.Array:
-    """(H, W) -> (H//2, W//2) by 2x2 mean pooling (H, W must be even)."""
-    h, w = img.shape
-    return jax.lax.reduce_window(
-        img, 0.0, jax.lax.add, window_dimensions=(2, 2), window_strides=(2, 2),
-        padding="VALID") * 0.25
+    """(H, W) -> (H//2, W//2) by 2x2 mean pooling (H, W must be even).
+
+    Strided slicing instead of reduce_window: identical result, and XLA
+    lowers the four strided reads + adds far better on TPU.
+    """
+    return (img[0::2, 0::2] + img[0::2, 1::2] +
+            img[1::2, 0::2] + img[1::2, 1::2]) * 0.25
 
 
 def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
