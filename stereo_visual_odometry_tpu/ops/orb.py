@@ -68,38 +68,97 @@ IC_X = jnp.asarray((_xx * _circle).astype(np.float32))
 IC_Y = jnp.asarray((_yy * _circle).astype(np.float32))
 
 
-def ic_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
-    """Intensity-centroid orientation for N keypoints -> angles (N,) radians.
+def ic_angle_from_patches(patches: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation from (N, 31, 31) patches -> (N,) rad.
 
     ``IC_Angle`` (``ORBextractor.cpp:21-48``): angle = atan2(m01, m10) over
-    the circular 31x31 patch.
+    the circular 31x31 patch. Dense masked sums on the VPU.
     """
-    patches = interp.sample_patches(img, xy, PATCH)  # (N, 31, 31)
     m10 = jnp.sum(patches * IC_X, axis=(1, 2))
     m01 = jnp.sum(patches * IC_Y, axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
+def ic_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
+    from . import patch_pallas
+
+    return ic_angle_from_patches(patch_pallas.extract_patches(img, xy, PATCH))
+
+
+# --- Binned-rotation BRIEF as one-hot matmuls (MXU-friendly) -------------- #
+#
+# The reference rotates the sampling pattern continuously per keypoint and
+# gathers 512 scattered samples (``computeOrbDescriptor``). Scattered
+# per-keypoint gathers scalarize on TPU, so the rotation is quantized to
+# N_ANGLE_BINS (11.25 deg bins -> <= 5.6 deg error, well inside BRIEF's
+# tolerance) and sampling becomes a dense contraction: for each bin, a
+# precomputed (512, 31*31) bilinear-weight matrix maps patch pixels to the
+# 512 sample values; all bins are computed (tiny MXU matmuls) and each
+# keypoint selects its own bin's result.
+
+N_ANGLE_BINS = 32
+
+
+def _make_bin_weights() -> np.ndarray:
+    """(B, 512, PATCH*PATCH) bilinear sampling matrices, one per angle bin."""
+    pts = np.asarray(BRIEF_PATTERN).reshape(N_BITS * 2, 2)  # (512, [x, y])
+    r = (PATCH - 1) // 2
+    out = np.zeros((N_ANGLE_BINS, N_BITS * 2, PATCH * PATCH), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        rx = c * pts[:, 0] - s * pts[:, 1]
+        ry = s * pts[:, 0] + c * pts[:, 1]
+        # Clamp rotated samples inside the patch and spread bilinearly.
+        x = np.clip(rx + r, 0, PATCH - 1 - 1e-4)
+        y = np.clip(ry + r, 0, PATCH - 1 - 1e-4)
+        x0 = np.floor(x).astype(int)
+        y0 = np.floor(y).astype(int)
+        fx = x - x0
+        fy = y - y0
+        for k in range(N_BITS * 2):
+            for (dy, dx, w) in ((0, 0, (1 - fy[k]) * (1 - fx[k])),
+                                (0, 1, (1 - fy[k]) * fx[k]),
+                                (1, 0, fy[k] * (1 - fx[k])),
+                                (1, 1, fy[k] * fx[k])):
+                out[b, k, (y0[k] + dy) * PATCH + (x0[k] + dx)] += w
+    return out
+
+
+BIN_WEIGHTS = jnp.asarray(_make_bin_weights())  # (B, 512, 961)
+
+
+def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
+    """(N, 31, 31) blurred patches + (N,) angles -> (N, 8) packed uint32."""
+    n = patches_blur.shape[0]
+    flat = patches_blur.reshape(n, PATCH * PATCH)
+    two_pi = 2.0 * jnp.pi
+    bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS)
+    bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
+    # All-bin sample values via one batched MXU contraction, then per-point
+    # bin selection (B small; redundant FLOPs are free next to gathers).
+    samples_all = jnp.einsum("np,bsp->nbs", flat, BIN_WEIGHTS)  # (N, B, 512)
+    samples = jnp.take_along_axis(
+        samples_all, bins[:, None, None], axis=1)[:, 0]  # (N, 512)
+    pairs = samples.reshape(n, N_BITS, 2)
+    bits = (pairs[..., 0] < pairs[..., 1]).astype(jnp.uint32)
+    words = bits.reshape(n, N_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 def brief_descriptors(img_blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
     """Rotated-BRIEF: (N,) keypoints -> (N, 8) uint32 packed descriptors.
 
-    Mirrors ``computeOrbDescriptor`` (``ORBextractor.cpp:51-97``): the pattern
-    is rotated by the keypoint angle, the *blurred* image is compared at each
-    pair, bits packed little-endian per word.
+    Capability-parity with ``computeOrbDescriptor`` (``ORBextractor.cpp:
+    51-97``) — pattern rotated by keypoint angle (quantized to
+    ``N_ANGLE_BINS``), blurred image compared at each pair, bits packed
+    little-endian per word.
     """
-    c = jnp.cos(angle)
-    s = jnp.sin(angle)
-    # Rotate pattern: (N, 256, 2, 2) coords.
-    px = BRIEF_PATTERN[..., 0]  # (256, 2)
-    py = BRIEF_PATTERN[..., 1]
-    rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
-    ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
-    coords = jnp.stack([rx, ry], axis=-1) + xy[:, None, None, :]  # (N, 256, 2, 2)
-    vals = interp.bilinear(img_blur, coords)  # (N, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
-    words = bits.reshape(bits.shape[0], N_WORDS, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    from . import patch_pallas
+
+    patches = patch_pallas.extract_patches(img_blur, xy, PATCH)
+    return brief_from_patches(patches, angle)
 
 
 def _level_budgets(n_features: int, levels: int, scale_factor: float) -> list[int]:
