@@ -70,3 +70,24 @@ def test_chunk_scan_on_device():
     for s in range(n_seq):
         err = np.linalg.norm(T_wc[s][:3, 3] - gt[s][-1][:3, 3])
         assert err < 0.4, (s, err)
+
+
+def test_evaluate_batch_driver():
+    from stereo_visual_odometry_tpu.parallel import evaluate
+
+    n_seq = 4
+    il, ir, gt, rp = make_batch(n_seq, n_frames=6)
+    cam = Pinhole.create(rp["fx"], rp["fy"], rp["cx"], rp["cy"])
+    rig = StereoRig.create(cam, cam, t_rl=[-rp["baseline"], 0, 0])
+    cfg = frontend.VOConfig(mode="lk", height=192, width=256, max_features=256,
+                            num_hypotheses=128, min_features_track=8,
+                            min_inlier_rate=0.3)
+    lengths = np.array([6, 6, 5, 4])  # ragged lengths exercise masking
+    mesh = make_mesh(4, axis="seq")
+    out = evaluate.evaluate_batch(il, ir, lengths, cfg, rig, mesh=mesh, chunk=3)
+    assert len(out["trajectories"]) == n_seq
+    for s, traj in enumerate(out["trajectories"]):
+        assert traj.shape == (lengths[s], 4, 4)
+        err = np.linalg.norm(traj[-1][:3, 3] - gt[s][lengths[s] - 1][:3, 3])
+        assert err < 0.4, (s, err)
+    assert out["frames_per_s"] > 0
