@@ -48,14 +48,22 @@ def evaluate_batch(images_l: np.ndarray, images_r: np.ndarray,
     state = jax.vmap(init_fn)(put(images_l[:, 0]), put(images_r[:, 0]), keys)
     jax.block_until_ready(state["T_wc"])
 
-    poses = [np.tile(np.eye(4), (S, 1, 1))]
+    cur = np.tile(np.eye(4), (S, 1, 1))
+    poses = [cur.copy()]
     t0 = time.perf_counter()
     for start in range(1, T, chunk):
         end = min(start + chunk, T)
         state, m = sequences.run_chunk_scan(
             step_fn, state, put(images_l[:, start:end]), put(images_r[:, start:end]))
-        # (T_chunk, S, 4, 4) -> per-frame world poses.
-        poses.extend(np.asarray(p) for p in np.asarray(m["T_wc"], np.float64))
+        # Compose world poses from per-frame relative motions on the host
+        # (float64 chain; the gates decide which updates apply).
+        T21 = np.asarray(m["T_21"], np.float64)       # (T_chunk, S, 4, 4)
+        acc = np.asarray(m["accept"])                 # (T_chunk, S)
+        for t in range(T21.shape[0]):
+            for s in range(S):
+                if acc[t, s]:
+                    cur[s] = cur[s] @ np.linalg.inv(T21[t, s])
+            poses.append(cur.copy())
     jax.block_until_ready(state["T_wc"])
     wall = time.perf_counter() - t0
 
