@@ -61,20 +61,28 @@ def _make_stamps(n_points: int, radius: int, seed: int) -> np.ndarray:
 
 def _splat(img: np.ndarray, uv: np.ndarray, z: np.ndarray, intens: np.ndarray,
            stamps: np.ndarray, idx: np.ndarray, radius: int = 3) -> None:
-    """Accumulate per-point stamps with bilinear subpixel placement."""
+    """Accumulate per-point stamps with bilinear subpixel placement.
+
+    Vectorized: one ``np.add.at`` scatter per bilinear corner.
+    """
     h, w = img.shape
-    for i in np.argsort(-z):  # far first
-        u, v = uv[i]
-        iu, iv = int(np.floor(u)), int(np.floor(v))
-        fu, fv = u - iu, v - iv
-        if radius + 1 <= iu < w - radius - 2 and radius + 1 <= iv < h - radius - 2:
-            st = stamps[idx[i]] * intens[i]
-            # Bilinear distribution over the 4 neighbouring integer offsets.
-            for (dy, dx, wgt) in ((0, 0, (1 - fv) * (1 - fu)), (0, 1, (1 - fv) * fu),
-                                  (1, 0, fv * (1 - fu)), (1, 1, fv * fu)):
-                if wgt > 0:
-                    img[iv + dy - radius: iv + dy + radius + 1,
-                        iu + dx - radius: iu + dx + radius + 1] += wgt * st
+    size = 2 * radius + 1
+    iu = np.floor(uv[:, 0]).astype(int)
+    iv = np.floor(uv[:, 1]).astype(int)
+    keep = ((iu >= radius + 1) & (iu < w - radius - 2) &
+            (iv >= radius + 1) & (iv < h - radius - 2))
+    if not np.any(keep):
+        return
+    iu, iv = iu[keep], iv[keep]
+    fu = (uv[keep, 0] - iu)[:, None, None]
+    fv = (uv[keep, 1] - iv)[:, None, None]
+    st = stamps[idx[keep]] * intens[keep, None, None]  # (M, size, size)
+    oy, ox = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    rows = iv[:, None, None] + oy[None]
+    cols = iu[:, None, None] + ox[None]
+    for dy, dx, wgt in ((0, 0, (1 - fv) * (1 - fu)), (0, 1, (1 - fv) * fu),
+                        (1, 0, fv * (1 - fu)), (1, 1, fv * fu)):
+        np.add.at(img, (rows + dy, cols + dx), wgt * st)
 
 
 def render_sequence(n_frames: int = 30, h: int = 240, w: int = 320,
