@@ -125,7 +125,18 @@ def _make_bin_weights() -> np.ndarray:
     return out
 
 
-BIN_WEIGHTS = jnp.asarray(_make_bin_weights())  # (B, 512, 961)
+_BIN_WEIGHTS_NP = None
+
+
+def _bin_weights() -> jax.Array:
+    """(B, 512, 961) sampling matrices, built lazily on first ORB use (the
+    63 MB array must not tax LK-only runs at import time). The cache holds
+    numpy — caching a jnp array here would leak a tracer when first touched
+    inside a jit trace."""
+    global _BIN_WEIGHTS_NP
+    if _BIN_WEIGHTS_NP is None:
+        _BIN_WEIGHTS_NP = _make_bin_weights()
+    return jnp.asarray(_BIN_WEIGHTS_NP)
 
 
 def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
@@ -137,7 +148,7 @@ def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
     bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
     # All-bin sample values via one batched MXU contraction, then per-point
     # bin selection (B small; redundant FLOPs are free next to gathers).
-    samples_all = jnp.einsum("np,bsp->nbs", flat, BIN_WEIGHTS)  # (N, B, 512)
+    samples_all = jnp.einsum("np,bsp->nbs", flat, _bin_weights())  # (N, B, 512)
     samples = jnp.take_along_axis(
         samples_all, bins[:, None, None], axis=1)[:, 0]  # (N, 512)
     pairs = samples.reshape(n, N_BITS, 2)
