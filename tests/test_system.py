@@ -151,3 +151,28 @@ def test_viz_outputs(tmp_path):
     xy = np.array([[10.0, 10.0], [30.0, 40.0]])
     viz.draw_tracks(str(tmp_path / "trk.png"), img, xy, xy + 2, np.array([True, True]))
     assert os.path.getsize(str(tmp_path / "trk.png")) > 0
+
+
+def test_kitti_loader_native(tmp_path):
+    from PIL import Image
+    from stereo_visual_odometry_tpu.utils.kitti import KittiStereoDataset
+
+    root = tmp_path / "seq"
+    (root / "image_0").mkdir(parents=True)
+    (root / "image_1").mkdir()
+    rng = np.random.default_rng(5)
+    imgs = {}
+    for i in range(4):
+        for d in ("image_0", "image_1"):
+            img = (rng.random((41, 53)) * 255).astype(np.uint8)
+            imgs[(d, i)] = img
+            Image.fromarray(img).save(root / d / f"{i:06d}.png")
+    ds = KittiStereoDataset(str(root), static_hw=(48, 64), use_native=True)
+    if ds._native is None:
+        pytest.skip("native loader unavailable")
+    l, r = ds[2]
+    np.testing.assert_array_equal(l[:41, :53], imgs[("image_0", 2)])
+    np.testing.assert_array_equal(r[:41, :53], imgs[("image_1", 2)])
+    frames = list(ds.iter_prefetch(depth=2))
+    assert len(frames) == 4
+    np.testing.assert_array_equal(frames[3][0][:41, :53], imgs[("image_0", 3)])
