@@ -103,8 +103,9 @@ def bench_tpu(il: np.ndarray, ir: np.ndarray) -> float:
     rig = StereoRig.kitti(fx=FX, fy=FX, cx=W_RAW / 2, cy=H_RAW / 2,
                           baseline=BASELINE)
     cfg = frontend.VOConfig(mode="lk", height=H, width=W,
-                            max_features=FEATURES, num_hypotheses=512,
-                            min_inlier_rate=0.3, min_features_track=8)
+                            max_features=FEATURES, num_hypotheses=256,
+                            refine_iters=6, min_inlier_rate=0.3,
+                            min_features_track=8)
     init_fn, chunk_fn = frontend.make_chunked_frontend(cfg, rig)
 
     chunk = (N_FRAMES - 1) // 2
