@@ -72,3 +72,27 @@ def test_pallas_full_track_parity():
     assert np.max(d) < 0.1, d.max()
     err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
     assert np.median(err) < 0.2
+
+
+def test_v2_kernel_matches_xla_level():
+    from stereo_visual_odometry_tpu.ops import lk_pallas_v2
+
+    img0 = textured()
+    img1 = shift(img0, 2.7, -1.4)
+    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
+                   np.float32)
+    n = len(pts) - len(pts) % lk_pallas_v2.BLK
+    pts = jnp.asarray(pts[:n])
+    guess = jnp.zeros_like(pts)
+    f_x, ok_x = lk._level_track(jnp.asarray(img0), jnp.asarray(img1), pts, guess,
+                                21, 30, 0.01, 1e-4, 6)
+    pad = 12
+    ip = jnp.pad(jnp.asarray(img0), pad, mode="edge")
+    inx = jnp.pad(jnp.asarray(img1), pad, mode="edge")
+    f_p, ok_p = lk_pallas_v2.level_track_pallas_v2(
+        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
+        interpret=True)
+    ok_both = np.asarray(ok_x) & np.asarray(ok_p)
+    assert ok_both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(f_x)[ok_both] - np.asarray(f_p)[ok_both], axis=1)
+    assert np.max(d) < 0.05, d.max()
