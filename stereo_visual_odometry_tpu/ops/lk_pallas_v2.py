@@ -108,10 +108,11 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             inv01_l.append(-g01 / safe_det)
             inv11_l.append(g00 / safe_det)
 
-        ok_v = jnp.stack(ok_list)          # (BLK,)
-        inv00 = jnp.stack(inv00_l)
-        inv01 = jnp.stack(inv01_l)
-        inv11 = jnp.stack(inv11_l)
+        # Block vectors are kept (BLK, 1): Mosaic requires rank >= 2.
+        ok_v = jnp.stack(ok_list).reshape(BLK, 1)
+        inv00 = jnp.stack(inv00_l).reshape(BLK, 1)
+        inv01 = jnp.stack(inv01_l).reshape(BLK, 1)
+        inv11 = jnp.stack(inv11_l).reshape(BLK, 1)
         Tb = t_scr[:, :, :]
         Ixb = ix_scr[:, :, :]
         Iyb = iy_scr[:, :, :]
@@ -126,8 +127,8 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             for j in range(BLK):
                 py = prow_ref[j, 0]
                 px = pcol_ref[j, 0]
-                br = py + grow_ref[j, 0] + vy[j] - r
-                bc = px + gcol_ref[j, 0] + vx[j] - r
+                br = py + grow_ref[j, 0] + vy[j, 0] - r
+                bc = px + gcol_ref[j, 0] + vx[j, 0] - r
                 iyj = jnp.clip(jnp.floor(br).astype(jnp.int32), 0, hp - win - 1)
                 ixj = jnp.clip(jnp.floor(bc).astype(jnp.int32), 0, wp - win - 1)
                 fy = br - iyj.astype(jnp.float32)
@@ -141,8 +142,8 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
                                         b * (1 - fy) * fx +
                                         c * fy * (1 - fx) + d * fy * fx)
             rd = Tb - w_scr[:, :, :]                     # (BLK, P8, PC)
-            b0 = jnp.sum(rd * Ixb, axis=(1, 2))          # (BLK,)
-            b1 = jnp.sum(rd * Iyb, axis=(1, 2))
+            b0 = jnp.sum(rd * Ixb, axis=(1, 2), keepdims=True)[:, :, 0]  # (BLK, 1)
+            b1 = jnp.sum(rd * Iyb, axis=(1, 2), keepdims=True)[:, :, 0]
             dx = inv00 * b0 + inv01 * b1
             dy = inv01 * b0 + inv11 * b1
             vx = vx + dx * active
@@ -150,12 +151,12 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             active = active * (dx * dx + dy * dy > eps * eps).astype(jnp.float32)
             return vy, vx, active, it + 1
 
-        z = jnp.zeros((BLK,), jnp.float32)
+        z = jnp.zeros((BLK, 1), jnp.float32)
         vy, vx, _, _ = jax.lax.while_loop(cond, body, (z, z, ok_v, jnp.int32(0)))
         for j in range(BLK):
-            flow_ref[j, 0] = vx[j]
-            flow_ref[j, 1] = vy[j]
-            ok_ref[j, 0] = ok_v[j]
+            flow_ref[j, 0] = vx[j, 0]
+            flow_ref[j, 1] = vy[j, 0]
+            ok_ref[j, 0] = ok_v[j, 0]
 
     return kernel
 
