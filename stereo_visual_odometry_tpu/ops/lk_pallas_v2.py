@@ -108,11 +108,14 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
             inv01_l.append(-g01 / safe_det)
             inv11_l.append(g00 / safe_det)
 
-        # Block vectors are kept (BLK, 1): Mosaic requires rank >= 2.
-        ok_v = jnp.stack(ok_list).reshape(BLK, 1)
-        inv00 = jnp.stack(inv00_l).reshape(BLK, 1)
-        inv01 = jnp.stack(inv01_l).reshape(BLK, 1)
-        inv11 = jnp.stack(inv11_l).reshape(BLK, 1)
+        # Block vectors are kept (BLK, 1); built without rank-1
+        # intermediates (Mosaic rejects 1-D vectors outright).
+        as_col = lambda xs: jnp.concatenate(
+            [x.reshape(1, 1) for x in xs], axis=0)
+        ok_v = as_col(ok_list)
+        inv00 = as_col(inv00_l)
+        inv01 = as_col(inv01_l)
+        inv11 = as_col(inv11_l)
         Tb = t_scr[:, :, :]
         Ixb = ix_scr[:, :, :]
         Iyb = iy_scr[:, :, :]
