@@ -24,11 +24,6 @@ import jax.numpy as jnp
 # The Bresenham circle of radius 3 used by FAST-16, in OpenCV's ring order
 # (offsets are (dy, dx), starting straight up and going clockwise).
 RING_OFFSETS = (
-    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
-    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -3 + 2),
-)
-# NOTE: last entry corrected below; keep a validated literal table instead.
-RING_OFFSETS = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3),
     (0, 3), (1, 3), (2, 2), (3, 1),
     (3, 0), (3, -1), (2, -2), (1, -3),
@@ -48,27 +43,6 @@ def _ring_stack(img: jax.Array) -> jax.Array:
     return jnp.stack([jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dy, dx) in RING_OFFSETS])
 
 
-def _contiguous_ge(mask16: jax.Array, n: int) -> jax.Array:
-    """Along axis 0 (length 16, circular), does any run of >= n True exist?
-
-    Doubling trick: r_k[i] = AND of mask[i..i+k-1] (circularly), built in
-    O(log n) rotate-and-AND steps on the VPU.
-    """
-    run = mask16
-    length = 1
-    # Build run-lengths 2, 4, 8 by doubling.
-    while length * 2 <= n:
-        run = run & jnp.roll(run, -length, axis=0)
-        length *= 2
-    rem = n - length
-    if rem > 0:
-        # Extend by the remainder using the original-length-`rem_pow` runs;
-        # simplest: AND with mask rotated by length .. length+rem-1 via a
-        # second doubling chain on the remainder.
-        run = run & jnp.roll(_run_of(mask16, rem), -length, axis=0)
-    return jnp.any(run, axis=0)
-
-
 @functools.lru_cache(maxsize=None)
 def _run_plan(n: int) -> tuple[int, ...]:
     """Decompose n into powers of two (binary) for rotate-and-AND runs."""
@@ -79,24 +53,6 @@ def _run_plan(n: int) -> tuple[int, ...]:
             out.append(bit)
         bit <<= 1
     return tuple(out)
-
-
-def _run_of(mask16: jax.Array, n: int) -> jax.Array:
-    """r[i] = AND of mask[i..i+n-1] circularly along axis 0."""
-    parts = _run_plan(n)
-    # Build power-of-two runs by doubling, then combine binary components.
-    pow_runs = {1: mask16}
-    p = 1
-    while p * 2 <= n:
-        pow_runs[p * 2] = pow_runs[p] & jnp.roll(pow_runs[p], -p, axis=0)
-        p *= 2
-    acc = None
-    offset = 0
-    for part in parts:
-        r = jnp.roll(pow_runs[part], -offset, axis=0)
-        acc = r if acc is None else (acc & r)
-        offset += part
-    return acc
 
 
 def _min_over_arcs(vals16: jax.Array, n: int) -> jax.Array:
