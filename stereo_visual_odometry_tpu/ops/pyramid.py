@@ -54,15 +54,34 @@ def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(n_out: int, n_in: int):
+    """(n_out, n_in) bilinear resampling matrix (align-corners=False)."""
+    import numpy as np
+
+    s = n_in / n_out
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * s - 0.5
+    i0 = np.clip(np.floor(pos).astype(int), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    f = np.clip(pos - np.floor(pos), 0.0, 1.0)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), i0] += 1.0 - f
+    m[np.arange(n_out), i1] += f
+    return m
+
+
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Arbitrary-size bilinear resize (align-corners=False, like cv::resize)."""
+    """Arbitrary-size bilinear resize (align-corners=False, like cv::resize).
+
+    Separable resampling as two banded matmuls (MXU) — per-pixel gathers
+    scalarize on TPU.
+    """
     h, w = img.shape
-    sy = h / out_h
-    sx = w / out_w
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
-    gx, gy = jnp.meshgrid(xs, ys)
-    return interp.bilinear(img.astype(jnp.float32), jnp.stack([gx, gy], axis=-1))
+    mr = jnp.asarray(_resize_matrix(out_h, h))
+    mc = jnp.asarray(_resize_matrix(out_w, w))
+    out = jnp.matmul(mr, img.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(out, mc.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def scale_pyramid(img: jax.Array, levels: int, scale_factor: float) -> list[jax.Array]:
@@ -80,18 +99,32 @@ def scale_pyramid(img: jax.Array, levels: int, scale_factor: float) -> list[jax.
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _blur_matrix(n: int, ksize: int, sigma: float):
+    """Banded (n, n) separable-Gaussian matrix (edge-clamped taps)."""
+    import numpy as np
+
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    m = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t, kv in zip(range(i - r, i + r + 1), k):
+            m[i, min(max(t, 0), n - 1)] += kv
+    return m
+
+
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
     """Separable Gaussian blur, matching the 7x7 sigma-2 blur applied before
-    BRIEF sampling (``ORBextractor.cpp:1033-1035``)."""
-    r = ksize // 2
-    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = k / jnp.sum(k)
+    BRIEF sampling (``ORBextractor.cpp:1033-1035``).
+
+    Expressed as two banded matmuls (B_row @ img @ B_col^T) — single-channel
+    convs lower terribly on TPU; these ride the MXU.
+    """
+    h, w = img.shape
+    br = jnp.asarray(_blur_matrix(h, ksize, sigma))
+    bc = jnp.asarray(_blur_matrix(w, ksize, sigma))
     img = img.astype(jnp.float32)
-    # Horizontal then vertical 1-D convolutions (XLA fuses these well).
-    img4 = img[None, None]  # NCHW
-    kh = k.reshape(1, 1, 1, ksize)
-    kv = k.reshape(1, 1, ksize, 1)
-    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), [(0, 0), (r, r)])
-    out = jax.lax.conv_general_dilated(out, kv, (1, 1), [(r, r), (0, 0)])
-    return out[0, 0]
+    out = jnp.matmul(br, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(out, bc.T, precision=jax.lax.Precision.HIGHEST)
