@@ -1,1 +1,2 @@
-from . import se3, camera, triangulate, interp, pyramid, fast, select, lk, orb, match, pnp  # noqa: F401
+from . import (camera, fast, interp, lk, lk_pallas, lk_pallas_v2, match, orb,
+               patch_pallas, pnp, pyramid, se3, select, triangulate)  # noqa: F401
