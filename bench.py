@@ -102,8 +102,12 @@ def bench_tpu(il: np.ndarray, ir: np.ndarray, mode: str = "lk") -> float:
 
     rig = StereoRig.kitti(fx=FX, fy=FX, cx=W_RAW / 2, cy=H_RAW / 2,
                           baseline=BASELINE)
+    # ORB runs at 2048 features to match the reference's nFeatures=2000
+    # (default.yaml:89); LK at 1024 (the reference's LK path is uncapped
+    # FAST output; fixed-capacity top-K is this framework's design).
+    n_feat = 2048 if mode == "orb" else FEATURES
     cfg = frontend.VOConfig(mode=mode, height=H, width=W,
-                            max_features=FEATURES, num_hypotheses=256,
+                            max_features=n_feat, num_hypotheses=256,
                             refine_iters=6, min_inlier_rate=0.3,
                             min_features_track=8)
     init_fn, chunk_fn = frontend.make_chunked_frontend(cfg, rig)
