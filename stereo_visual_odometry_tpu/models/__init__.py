@@ -1,0 +1,1 @@
+from . import frontend, system, backend, ba, online  # noqa: F401

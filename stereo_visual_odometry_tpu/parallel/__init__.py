@@ -1,0 +1,1 @@
+from . import mesh, sequences, dist_ba, evaluate  # noqa: F401

@@ -1,0 +1,2 @@
+from . import (config, checkpoint, kitti, logging, profiling, synthetic,
+               trajectory, viz)  # noqa: F401
