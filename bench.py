@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 H_RAW, W_RAW = 376, 1241
 H, W = 384, 1280
-N_FRAMES = 34
+N_FRAMES = 18
 N_SEQ = 4          # sequences batched per chip (production config-4 shape)
 WARMUP = 2
 FEATURES = 1024
