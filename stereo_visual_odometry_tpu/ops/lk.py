@@ -167,10 +167,12 @@ def use_pallas_default() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("win", "levels", "iters", "eps", "min_eig", "use_pallas"))
+@partial(jax.jit, static_argnames=("win", "levels", "iters", "eps", "min_eig",
+                                   "use_pallas", "pallas_kernel"))
 def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
           win: int = 21, levels: int = 3, iters: int = 30, eps: float = 0.01,
           min_eig: float = 1e-4, use_pallas: bool = False,
+          pallas_kernel: str = "cell",
           ) -> tuple[jax.Array, jax.Array]:
     """Track N points from prev to next through a factor-2 pyramid.
 
@@ -219,7 +221,13 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
             pads = ((pad, pad + eh), (pad, pad + ew))
             ipp = jnp.pad(ip, pads, mode="edge")
             inxp = jnp.pad(inx, pads, mode="edge")
-            flow, ok = lk_pallas.level_track_pallas(
+            if pallas_kernel == "cell":
+                from . import lk_pallas_cell
+
+                level_fn = lk_pallas_cell.level_track_pallas_cell
+            else:
+                level_fn = lk_pallas.level_track_pallas
+            flow, ok = level_fn(
                 ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps,
                 min_eig=min_eig, search_radius=radius, pad=pad)
         else:
@@ -243,7 +251,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                    feature_match_error: float = 2.0,
                    cycle_error: float = 2.0,
                    win: int = 21, levels: int = 3, iters: int = 30,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, pallas_kernel: str = "cell"):
     """4-way circular LK: t1L -> t1R -> t2R -> t2L -> t1L.
 
     The reference's loop-consistency matching
@@ -261,7 +269,8 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
       dict with tracked points in each image and the combined valid mask.
     """
     pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l = pyrs
-    kw = dict(win=win, levels=levels, iters=iters, use_pallas=use_pallas)
+    kw = dict(win=win, levels=levels, iters=iters, use_pallas=use_pallas,
+              pallas_kernel=pallas_kernel)
     p_t1r, ok1 = track(pyr_t1l, pyr_t1r, pts_t1l, **kw)
     p_t2r, ok2 = track(pyr_t1r, pyr_t2r, p_t1r, **kw)
     p_t2l, ok3 = track(pyr_t2r, pyr_t2l, p_t2r, **kw)

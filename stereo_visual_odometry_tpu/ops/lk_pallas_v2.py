@@ -16,6 +16,13 @@ BLK-point block in ONE while loop:
 Trade-off: converged points ride along until the whole block finishes
 (bounded by the slowest point), in exchange for 8x fewer loop iterations
 and vectorized reductions.
+
+Hardware status (measured, one v5e chip): compiles and matches v1 bit-for-bit
+after the two-step-reduction fix below, but runs ~300x SLOWER than v1
+(32 ms vs 0.11 ms for 1024 points on one 384x1280 level) — the rank-3
+(BLK, P8, 128) scratch elementwise/reduction ops get poor Mosaic layouts,
+swamping the loop-count savings. Kept as a working reference for
+block-vectorized iteration; ``lk_pallas.py`` (v1) is the production kernel.
 """
 from __future__ import annotations
 
@@ -145,8 +152,12 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
                                         b * (1 - fy) * fx +
                                         c * fy * (1 - fx) + d * fy * fx)
             rd = Tb - w_scr[:, :, :]                     # (BLK, P8, PC)
-            b0 = jnp.sum(rd * Ixb, axis=(1, 2), keepdims=True)[:, :, 0]  # (BLK, 1)
-            b1 = jnp.sum(rd * Iyb, axis=(1, 2), keepdims=True)[:, :, 0]
+            # Two-step reduction: a single multi-axis keepdims reduce followed
+            # by a squeeze trips Mosaic layout inference on hardware
+            # (layout.h:320 arr.size() >= layout_rank); axis=2 then axis=1
+            # keepdims stays rank>=2 throughout and compiles clean.
+            b0 = jnp.sum(jnp.sum(rd * Ixb, axis=2), axis=1, keepdims=True)  # (BLK, 1)
+            b1 = jnp.sum(jnp.sum(rd * Iyb, axis=2), axis=1, keepdims=True)
             dx = inv00 * b0 + inv01 * b1
             dy = inv01 * b0 + inv11 * b1
             vx = vx + dx * active

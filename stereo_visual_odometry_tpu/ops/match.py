@@ -16,7 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 30)
+# Python int, not jnp.int32: a module-level jnp constant is a device op at
+# import time, which forces backend init before the caller can pick one.
+_BIG = 1 << 30
 
 
 def popcount_u32(x: jax.Array) -> jax.Array:

@@ -57,15 +57,18 @@ def _make_pattern(seed: int = 1234) -> np.ndarray:
     return np.round(pts).astype(np.float32)
 
 
-BRIEF_PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) [pair, point, (x, y)]
+# numpy, not jnp: module-level jnp constants are device ops at import time,
+# forcing backend init before the caller can pick a platform. As numpy they
+# are embedded as compile-time constants when first used under jit.
+BRIEF_PATTERN = _make_pattern()  # (256, 2, 2) [pair, point, (x, y)]
 
 # Circular-patch mask and coordinate grids for IC_Angle (radius HALF_PATCH),
 # equivalent to the umax row-extent table of ``ORBextractor.cpp:400-417``.
 _yy, _xx = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
 _circle = (_xx ** 2 + _yy ** 2) <= HALF_PATCH ** 2
-IC_MASK = jnp.asarray(_circle.astype(np.float32))
-IC_X = jnp.asarray((_xx * _circle).astype(np.float32))
-IC_Y = jnp.asarray((_yy * _circle).astype(np.float32))
+IC_MASK = _circle.astype(np.float32)
+IC_X = (_xx * _circle).astype(np.float32)
+IC_Y = (_yy * _circle).astype(np.float32)
 
 
 def ic_angle_from_patches(patches: jax.Array) -> jax.Array:
@@ -125,18 +128,25 @@ def _make_bin_weights() -> np.ndarray:
     return out
 
 
-_BIN_WEIGHTS_NP = None
+_BIN_DIFF_NP = None
 
 
-def _bin_weights() -> jax.Array:
-    """(B, 512, 961) sampling matrices, built lazily on first ORB use (the
-    63 MB array must not tax LK-only runs at import time). The cache holds
-    numpy — caching a jnp array here would leak a tracer when first touched
-    inside a jit trace."""
-    global _BIN_WEIGHTS_NP
-    if _BIN_WEIGHTS_NP is None:
-        _BIN_WEIGHTS_NP = _make_bin_weights()
-    return jnp.asarray(_BIN_WEIGHTS_NP)
+def _bin_diff_weights() -> jax.Array:
+    """(B, 256, 961) pair-DIFFERENCE sampling matrices, lazily built (the
+    array must not tax LK-only runs at import time; the cache holds numpy —
+    caching a jnp array here would leak a tracer when first touched inside a
+    jit trace).
+
+    Each descriptor bit compares two sample values: bit_k = (s_{2k} <
+    s_{2k+1}) = (flat . (W_{2k+1} - W_{2k}) > 0). Contracting against the
+    difference matrix directly halves both the MXU work and the (N, B, .)
+    intermediate vs. computing all 512 sample values, and does one bf16
+    rounding instead of two before the comparison."""
+    global _BIN_DIFF_NP
+    if _BIN_DIFF_NP is None:
+        w = _make_bin_weights()  # (B, 512, 961)
+        _BIN_DIFF_NP = w[:, 1::2, :] - w[:, 0::2, :]  # (B, 256, 961)
+    return jnp.asarray(_BIN_DIFF_NP)
 
 
 def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
@@ -146,17 +156,18 @@ def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS)
     bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
-    # All-bin sample values via one batched bf16 MXU contraction (descriptor
-    # bits only compare sample magnitudes, so bf16 rounding is immaterial),
-    # then per-point bin selection. One big einsum beats 32 per-bin matmuls
-    # by ~1.7x measured (the scan serializes; the MXU wants one large shape).
-    W16 = _bin_weights().astype(jnp.bfloat16)
-    samples_all = jnp.einsum("np,bsp->nbs", flat.astype(jnp.bfloat16), W16,
-                             preferred_element_type=jnp.float32)  # (N, B, 512)
-    samples = jnp.take_along_axis(
-        samples_all, bins[:, None, None], axis=1)[:, 0]  # (N, 512)
-    pairs = samples.reshape(n, N_BITS, 2)
-    bits = (pairs[..., 0] < pairs[..., 1]).astype(jnp.uint32)
+    # All-bin pair differences via one batched bf16 MXU contraction (the
+    # descriptor only needs each difference's SIGN, so bf16 rounding is
+    # immaterial), then per-point bin selection. One big einsum beats 32
+    # per-bin matmuls by ~1.7x measured (the scan serializes; the MXU wants
+    # one large shape); contracting pair differences instead of raw samples
+    # halves the FLOPs and the (N, B, .) intermediate.
+    D16 = _bin_diff_weights().astype(jnp.bfloat16)
+    diffs_all = jnp.einsum("np,bkp->nbk", flat.astype(jnp.bfloat16), D16,
+                           preferred_element_type=jnp.float32)  # (N, B, 256)
+    diffs = jnp.take_along_axis(
+        diffs_all, bins[:, None, None], axis=1)[:, 0]  # (N, 256)
+    bits = (diffs > 0).astype(jnp.uint32)
     words = bits.reshape(n, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
@@ -236,9 +247,20 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
         raw = jnp.pad(score_lo, ((0, ph - h), (0, pw - w)))
         xy = select.subpixel_refine(raw, xy, valid)
 
-        ang = ic_angle(level_img, xy)
+        # One patch extraction per level, from the blurred image: both the
+        # IC angle and the descriptor read the same (N, 31, 31) patches.
+        # (The reference computes IC_Angle on the unblurred pyramid,
+        # ``ORBextractor.cpp:805-806``, and blurs only for description at
+        # :1033-1035; a 7x7 sigma-2 blur shifts the centroid angle by well
+        # under the descriptor's 11.25-deg rotation bins, and the change is
+        # self-consistent across all images matched by this extractor —
+        # measured on hardware it halves the patch-kernel cost of ORB.)
+        from . import patch_pallas
+
         blur = pyramid.gaussian_blur(level_img)  # 7x7 sigma 2 (:1033-1035)
-        desc = brief_descriptors(blur, xy, ang)
+        patches = patch_pallas.extract_patches(blur, xy, PATCH)
+        ang = ic_angle_from_patches(patches)
+        desc = brief_from_patches(patches, ang)
 
         lvl_scale = scale_factor ** lvl
         outs.append({

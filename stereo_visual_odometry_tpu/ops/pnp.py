@@ -53,8 +53,16 @@ def _dlt_pose(pts3d: jax.Array, norm2d: jax.Array, wmask: jax.Array) -> jax.Arra
     row_v = jnp.concatenate([z4, Xh, -v[:, None] * Xh], axis=-1)
     A = jnp.concatenate([row_u * wmask[:, None], row_v * wmask[:, None]], axis=0)  # (2S, 12)
     AtA = jnp.matmul(A.T, A, precision=_HI)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0]  # (12,)
+    # Smallest eigenvector via shifted inverse iteration: for a minimal
+    # 6-point sample AtA is (numerically) rank-11, so lambda_min ~ 0 is well
+    # separated and 3 Cholesky-solve sweeps converge. Batched 12x12 eigh is
+    # an iterative QR kernel on TPU (~10x the cost of a Cholesky).
+    jitter = 1e-9 * jnp.trace(AtA) + 1e-12
+    L = jax.scipy.linalg.cho_factor(AtA + jitter * jnp.eye(12, dtype=AtA.dtype))
+    p = jnp.full((12,), 1.0 / jnp.sqrt(12.0), dtype=AtA.dtype)
+    for _ in range(3):
+        p = jax.scipy.linalg.cho_solve(L, p)
+        p = p / jnp.maximum(jnp.linalg.norm(p), 1e-30)
     P = p.reshape(3, 4)
     R_raw = P[:, :3]
     # Scale so that R has unit determinant magnitude; sign from cheirality.
@@ -64,7 +72,7 @@ def _dlt_pose(pts3d: jax.Array, norm2d: jax.Array, wmask: jax.Array) -> jax.Arra
     centroid = jnp.sum(X * wmask[:, None], axis=0) / jnp.maximum(jnp.sum(wmask), 1.0)
     z_c = P[2, :3] @ centroid + P[2, 3]
     P = P * jnp.where(z_c < 0, -1.0, 1.0)
-    R = se3.orthonormalize(P[:, :3])
+    R = se3.orthonormalize_newton(P[:, :3])
     t = P[:, 3]
     return se3.from_Rt(R, t)
 
@@ -113,7 +121,10 @@ def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Arr
         H = jnp.einsum("nij,nik->jk", Jw, J, precision=_HI)
         g = jnp.einsum("nij,ni->j", Jw, r, precision=_HI)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        delta = jnp.linalg.solve(H, -g)
+        # H is SPD (damped normal equations): Cholesky solve beats the
+        # pivoted-LU path jnp.linalg.solve lowers to on TPU.
+        delta = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H), -g)
         T_new = se3.se3_exp(delta) @ T
         good = jnp.all(jnp.isfinite(delta))
         return jnp.where(good, T_new, T)
@@ -191,6 +202,9 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     # discriminative than inlier counting at equal budget.
     msac = jnp.sum(jnp.where(valid[None, :], jnp.minimum(e2, thr2), 0.0) *
                    weights[None, :], axis=-1)
+    # Degenerate samples can yield NaN poses (rank-deficient DLT, diverged
+    # GN); make sure they can never win the argmin.
+    msac = jnp.where(jnp.isnan(msac), jnp.inf, msac)
     best = jnp.argmin(msac)
     T_best = T_hyp[best]
     inliers = inl[best]

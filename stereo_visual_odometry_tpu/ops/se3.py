@@ -176,6 +176,24 @@ def orthonormalize(R: jax.Array) -> jax.Array:
     return (U * D[..., None, :]) @ Vt
 
 
+def orthonormalize_newton(R: jax.Array, iters: int = 4) -> jax.Array:
+    """Project a near-rotation onto SO(3) via Newton-Schulz polar iteration.
+
+    ``X <- 1.5 X - 0.5 X X^T X`` converges quadratically to the orthogonal
+    polar factor when the singular values lie in (0, sqrt(3)); callers
+    pre-normalize scale (e.g. by |det|^(1/3)) so that holds. Batched 3x3
+    SVD lowers to a slow iterative kernel on TPU — this is pure matmuls.
+    Preserves the determinant's sign (use only after a cheirality sign fix).
+    """
+    # Frobenius pre-normalization puts the singular values strictly inside
+    # (0, sqrt(3)) for any full-rank input, guaranteeing convergence.
+    fro = jnp.sqrt(jnp.sum(R * R, axis=(-1, -2), keepdims=True) / 3.0)
+    X = R / jnp.maximum(fro, 1e-12)
+    for _ in range(iters):
+        X = 1.5 * X - 0.5 * X @ jnp.swapaxes(X, -1, -2) @ X
+    return X
+
+
 def euler_zyx(R: jax.Array) -> jax.Array:
     """R -> (roll, pitch, yaw) for the Z-Y-X convention.
 

@@ -62,7 +62,8 @@ def test_pallas_full_track_parity():
 
     lp.level_track_pallas = interp_version
     try:
-        n_p, ok_p = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=True)
+        n_p, ok_p = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=True,
+                             pallas_kernel="v1")
     finally:
         lp.level_track_pallas = orig
     n_x, ok_x = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=False)
@@ -72,6 +73,92 @@ def test_pallas_full_track_parity():
     assert np.max(d) < 0.1, d.max()
     err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
     assert np.median(err) < 0.2
+
+
+def test_cell_full_track_parity():
+    """lk.track with the cell kernel (default) vs XLA, interpret mode."""
+    import stereo_visual_odometry_tpu.ops.lk_pallas_cell as lpc
+
+    img0 = textured(160, 224)
+    img1 = shift(img0, 6.0, 3.5)
+    pts = np.array([(x, y) for y in range(40, 120, 24) for x in range(40, 180, 24)],
+                   np.float32)
+    p0 = tuple(pyramid.build_pyramid(jnp.asarray(img0), 4))
+    p1 = tuple(pyramid.build_pyramid(jnp.asarray(img1), 4))
+    orig = lpc.level_track_pallas_cell
+
+    def interp_version(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    lpc.level_track_pallas_cell = interp_version
+    try:
+        n_p, ok_p = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=True,
+                             pallas_kernel="cell")
+    finally:
+        lpc.level_track_pallas_cell = orig
+    n_x, ok_x = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=False)
+    both = np.asarray(ok_p) & np.asarray(ok_x)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(n_p)[both] - np.asarray(n_x)[both], axis=1)
+    assert np.max(d) < 0.1, d.max()
+    err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
+    assert np.median(err) < 0.2
+
+
+def test_cell_kernel_matches_xla_level():
+    """Cell-blend kernel (the production TPU kernel): parity vs XLA LK."""
+    from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+
+    img0 = textured()
+    img1 = shift(img0, 2.7, -1.4)
+    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
+                   np.float32)
+    n = len(pts) - len(pts) % lk_pallas_cell.BLK
+    pts = jnp.asarray(pts[:n])
+    guess = jnp.zeros_like(pts)
+    f_x, ok_x = lk._level_track(jnp.asarray(img0), jnp.asarray(img1), pts, guess,
+                                21, 30, 0.01, 1e-4, 6)
+    pad = 12
+    ip = jnp.pad(jnp.asarray(img0), pad, mode="edge")
+    inx = jnp.pad(jnp.asarray(img1), pad, mode="edge")
+    f_p, ok_p = lk_pallas_cell.level_track_pallas_cell(
+        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
+        interpret=True)
+    ok_both = np.asarray(ok_x) & np.asarray(ok_p)
+    assert ok_both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(f_x)[ok_both] - np.asarray(f_p)[ok_both], axis=1)
+    # The bilinear-RHS expansion reassociates float sums; tolerance is wider
+    # than v1's bit-level agreement but still far below matching thresholds.
+    assert np.max(d) < 0.05, d.max()
+    err = np.linalg.norm(np.asarray(f_p)[ok_both] - [2.7, -1.4], axis=1)
+    assert np.median(err) < 0.1
+
+
+def test_cell_kernel_nonzero_guess():
+    """Cell kernel with an incoming guess (the pyramid hand-off path)."""
+    from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+
+    img0 = textured(160, 224)
+    img1 = shift(img0, 3.4, 1.9)
+    pts = np.array([(x, y) for y in range(40, 120, 24) for x in range(40, 180, 24)],
+                   np.float32)
+    n = len(pts) - len(pts) % lk_pallas_cell.BLK
+    pts = jnp.asarray(pts[:n])
+    guess = jnp.full_like(pts, 1.5)  # deliberately offset start
+    pad = 12
+    ip = jnp.pad(jnp.asarray(img0), pad, mode="edge")
+    inx = jnp.pad(jnp.asarray(img1), pad, mode="edge")
+    f_c, ok_c = lk_pallas_cell.level_track_pallas_cell(
+        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
+        interpret=True)
+    f_1, ok_1 = lk_pallas.level_track_pallas(
+        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
+        interpret=True)
+    both = np.asarray(ok_c) & np.asarray(ok_1)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(f_c)[both] - np.asarray(f_1)[both], axis=1)
+    assert np.max(d) < 0.05, d.max()
 
 
 def test_v2_kernel_matches_xla_level():
