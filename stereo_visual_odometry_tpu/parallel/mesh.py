@@ -14,9 +14,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "seq",
+              platform: str | None = None) -> Mesh:
+    """Mesh over the first ``n_devices`` devices.
+
+    ``platform`` pins a backend (e.g. ``"cpu"`` for the virtual host-device
+    dry run: with ``--xla_force_host_platform_device_count=N`` the CPU
+    backend exposes N devices even when a TPU plugin claims the default
+    platform and ignores ``JAX_PLATFORMS``).
+    """
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"need {n} devices on platform={platform or 'default'}, "
+            f"have {len(devs)}")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
