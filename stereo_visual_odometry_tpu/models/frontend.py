@@ -77,6 +77,19 @@ class VOConfig:
     replenish_min_dist: float = 8.0   # px spacing for new detections
     # LK backend: "auto" = Pallas kernel on TPU, XLA formulation on CPU.
     lk_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
+    lk_kernel: str = "cell"           # 'cell' | 'block' | 'v1' Pallas variant
+    # Predictive LK initialization (TPU-first: kernel cost scales with
+    # pixel-cell crossings, so legs start from a disparity prior + the
+    # constant-velocity motion model instead of zero flow).
+    lk_predictive: bool = True
+    disp_cell: int = 64               # disparity-prior grid cell (px)
+    # Dense plane-sweep stereo prior: collapses the LK stereo legs to a
+    # finest-level refinement (ops/stereo_sweep.py); temporal legs keep a
+    # short pyramid on top of the motion-model guess.
+    lk_sweep: bool = True
+    lk_sweep_d_max: int = 48
+    lk_stereo_levels: int = 1
+    lk_temporal_levels: int = 2
 
 
 # Tracking status values (``tracking.h:22-27``).
@@ -121,6 +134,9 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         pr = tuple(pyramid.build_pyramid(img_r.astype(jnp.float32), cfg.pyr_levels))
         return pl, pr
 
+    gh = -(-cfg.height // cfg.disp_cell)
+    gw = -(-cfg.width // cfg.disp_cell)
+
     @jax.jit
     def init_fn(img_l, img_r, key):
         """StereoInit_f2f (``tracking.cpp:78-92``): detect on frame 0."""
@@ -134,6 +150,9 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             "T_21_prev": jnp.eye(4, dtype=jnp.float32), "key": key,
             "status": jnp.int32(status), "n_detected": n_det,
         }
+        if cfg.lk_predictive and not cfg.lk_sweep:
+            # No prior yet: a mid-range constant (fx*B / ~15 m on KITTI).
+            state["disp_grid"] = jnp.full((gh, gw), 24.0, jnp.float32)
         if cfg.persistent_tracks:
             k = cfg.max_features
             ids = jnp.where(valid, jnp.arange(k, dtype=jnp.int32), -1)
@@ -150,14 +169,25 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         img_r = img_r.astype(jnp.float32)
         pyr_cur_l, pyr_cur_r = _build_pyrs(img_l, img_r)
 
-        # 4-way circular LK: t1L -> t1R -> t2R -> t2L (tracking.cpp:583-622).
+        # 4-way circular LK: t1L -> t1R -> t2R -> t2L (tracking.cpp:583-622),
+        # initialized from the disparity prior + constant-velocity model.
+        pred_kw = {}
+        if cfg.lk_predictive:
+            pred_kw = dict(rig=rig, T_pred=state["T_21_prev"])
+            if cfg.lk_sweep:
+                pred_kw.update(use_sweep=True, sweep_d_max=cfg.lk_sweep_d_max,
+                               stereo_levels=cfg.lk_stereo_levels,
+                               temporal_levels=cfg.lk_temporal_levels)
+            else:
+                pred_kw.update(disp_prior=lk.sample_disparity(
+                    state["disp_grid"], state["kp"], cfg.disp_cell))
         quad = lk.circular_track(
             (state["pyr_l"], state["pyr_r"], pyr_cur_r, pyr_cur_l),
             state["kp"], state["kp_valid"],
             feature_match_error=cfg.feature_match_error,
             cycle_error=cfg.cycle_error,
             win=cfg.lk_win, levels=cfg.lk_levels, iters=cfg.lk_iters,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, pallas_kernel=cfg.lk_kernel, **pred_kw)
 
         # Triangulate the t-1 stereo pair (tracking.cpp:292-294).
         pts3d, tri_ok = tri(quad["t1l"], quad["t1r"])
@@ -201,6 +231,11 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             "T_wc": T_wc, "T_21_prev": T_21_prev,
             "key": key, "status": status, "n_detected": n_det,
         }
+        if cfg.lk_predictive and not cfg.lk_sweep:
+            # Refresh the prior from this frame's tracked stereo pairs.
+            new_state["disp_grid"] = lk.disparity_grid(
+                quad["t2l"], quad["t2l"][:, 0] - quad["t2r"][:, 0],
+                quad["valid"], cfg.height, cfg.width, cfg.disp_cell)
         metrics = {
             "T_21": T_21, "accept": accept, "n_tracked": n_tracked,
             "n_detected": n_det, "n_inliers": res["num_inliers"],

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import interp
+from . import interp, se3
 
 
 # Max flow change per level beyond the incoming guess (px). The coarsest
@@ -72,7 +72,8 @@ def _shift_blend(windows: jax.Array, tl_rc: jax.Array, win: int) -> jax.Array:
 
 def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
                  guess: jax.Array, win: int, iters: int, eps: float,
-                 min_eig: float, search_radius: int) -> tuple[jax.Array, jax.Array]:
+                 min_eig: float, search_radius: int,
+                 active: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """One pyramid level of LK for all points.
 
     Args:
@@ -110,6 +111,8 @@ def _level_track(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
     tr = g00 + g11
     min_eig_val = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) * 0.5 / (win * win)
     ok = min_eig_val > min_eig
+    if active is not None:
+        ok = ok & active  # masked points do no iterations (active0 below)
     safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
     inv00 = g11 / safe_det
     inv01 = -g01 / safe_det
@@ -172,7 +175,8 @@ def use_pallas_default() -> bool:
 def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
           win: int = 21, levels: int = 3, iters: int = 30, eps: float = 0.01,
           min_eig: float = 1e-4, use_pallas: bool = False,
-          pallas_kernel: str = "cell",
+          pallas_kernel: str = "cell", init_flow: jax.Array | None = None,
+          active: jax.Array | None = None,
           ) -> tuple[jax.Array, jax.Array]:
     """Track N points from prev to next through a factor-2 pyramid.
 
@@ -180,6 +184,11 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
       pyr_prev / pyr_next: tuples of (H/2^l, W/2^l) float32 images,
         level 0 first (from ``pyramid.build_pyramid``).
       pts: (N, 2) [x, y] positions in level-0 coords.
+      init_flow: optional (N, 2) level-0 flow guess. A predictive guess
+        (disparity prior / motion model) collapses the coarse-level search
+        to a local refinement — on TPU the kernel cost scales with pixel-cell
+        crossings, so good guesses are the main throughput lever. The
+        per-level search radius applies AROUND the guess.
 
     Returns:
       (next_pts (N, 2), ok (N,) bool). ``ok`` requires a well-conditioned
@@ -197,8 +206,18 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
         if n_pad:
             pts = jnp.concatenate(
                 [pts, jnp.zeros((n_pad, 2), pts.dtype)], axis=0)
+            if init_flow is not None:
+                init_flow = jnp.concatenate(
+                    [init_flow, jnp.zeros((n_pad, 2), init_flow.dtype)], axis=0)
+            if active is not None:
+                active = jnp.concatenate(
+                    [active, jnp.zeros((n_pad,), bool)], axis=0)
 
-    flow = pts * 0.0  # (N, 2) zeros, right dtype
+    if init_flow is None:
+        flow = pts * 0.0  # (N, 2) zeros, right dtype
+    else:
+        # Coarsest-level units; the loop's x2 rescale walks it back down.
+        flow = init_flow.astype(pts.dtype) * (0.5 ** (n_levels - 1))
     ok_all = jnp.ones(pts.shape[0], dtype=bool)
     for lvl in range(n_levels - 1, -1, -1):
         radius = SEARCH_RADIUS_COARSEST if lvl == n_levels - 1 else SEARCH_RADIUS_REFINE
@@ -221,7 +240,11 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
             pads = ((pad, pad + eh), (pad, pad + ew))
             ipp = jnp.pad(ip, pads, mode="edge")
             inxp = jnp.pad(inx, pads, mode="edge")
-            if pallas_kernel == "cell":
+            if pallas_kernel == "block":
+                from . import lk_pallas_block
+
+                level_fn = lk_pallas_block.level_track_pallas_block
+            elif pallas_kernel == "cell":
                 from . import lk_pallas_cell
 
                 level_fn = lk_pallas_cell.level_track_pallas_cell
@@ -229,10 +252,11 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
                 level_fn = lk_pallas.level_track_pallas
             flow, ok = level_fn(
                 ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps,
-                min_eig=min_eig, search_radius=radius, pad=pad)
+                min_eig=min_eig, search_radius=radius, pad=pad, active=active)
         else:
             flow, ok = _level_track(ip, inx, pts_l, flow,
-                                    win, iters, eps, min_eig, radius)
+                                    win, iters, eps, min_eig, radius,
+                                    active=active)
         ok_all = ok_all & ok
         if lvl > 0:
             flow = flow * 2.0
@@ -247,11 +271,54 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
     return next_pts, ok_all & inside
 
 
+def disparity_grid(xy: jax.Array, disp: jax.Array, valid: jax.Array,
+                   height: int, width: int, cell: int = 64,
+                   default_disp: float = 24.0):
+    """Rasterize sparse disparities into a coarse per-cell prior grid.
+
+    (N, 2) pixel positions + (N,) disparities -> (H/cell, W/cell) mean
+    disparity per cell; empty cells filled with the valid median (or
+    ``default_disp`` when nothing is valid). Dense segment-sums only — the
+    grid is the cheap temporal memory that makes the next frame's stereo
+    LK leg a local refinement instead of a 20-cell coarse search.
+    """
+    gh = -(-height // cell)
+    gw = -(-width // cell)
+    cx = jnp.clip((xy[:, 0] / cell).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((xy[:, 1] / cell).astype(jnp.int32), 0, gh - 1)
+    idx = cy * gw + cx
+    v = valid.astype(disp.dtype)
+    sums = jax.ops.segment_sum(disp * v, idx, num_segments=gh * gw)
+    cnts = jax.ops.segment_sum(v, idx, num_segments=gh * gw)
+    # Median of valid disparities as the fill for empty cells.
+    big = jnp.where(valid, disp, jnp.inf)
+    order = jnp.sort(big)
+    n_valid = jnp.sum(valid)
+    med = order[jnp.clip(n_valid // 2, 0, disp.shape[0] - 1)]
+    med = jnp.where(n_valid > 0, med, jnp.asarray(default_disp, disp.dtype))
+    grid = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), med)
+    return grid.reshape(gh, gw)
+
+
+def sample_disparity(grid: jax.Array, xy: jax.Array, cell: int = 64):
+    """Sample the per-cell disparity prior at (N, 2) pixel positions."""
+    gh, gw = grid.shape
+    cx = jnp.clip((xy[:, 0] / cell).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((xy[:, 1] / cell).astype(jnp.int32), 0, gh - 1)
+    return grid[cy, cx]
+
+
 def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                    feature_match_error: float = 2.0,
                    cycle_error: float = 2.0,
                    win: int = 21, levels: int = 3, iters: int = 30,
-                   use_pallas: bool = False, pallas_kernel: str = "cell"):
+                   use_pallas: bool = False, pallas_kernel: str = "cell",
+                   rig=None, T_pred: jax.Array | None = None,
+                   disp_prior: jax.Array | None = None,
+                   use_sweep: bool = False, sweep_d_max: int = 48,
+                   stereo_levels: int | None = None,
+                   temporal_levels: int | None = None,
+                   max_disp: float = 192.0, max_guess: float = 160.0):
     """4-way circular LK: t1L -> t1R -> t2R -> t2L -> t1L.
 
     The reference's loop-consistency matching
@@ -263,18 +330,88 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
     (``cycle_error``; the reference only checks sign — ``tracking.cpp:637-643``
     — a consciously tightened gate, see SURVEY.md §7).
 
+    Predictive initialization (TPU-first design, not in the reference): the
+    kernel cost scales with pixel-cell crossings, so each leg starts from
+    the best available guess — the stereo leg from a coarse disparity-prior
+    grid (``disp_prior``, the previous frame's disparities), the temporal
+    legs from the constant-velocity motion model ``T_pred`` applied to the
+    leg-1 triangulation. The legs still run the full iteration + all four
+    status/epipolar/cycle gates, so a wrong prior fails the point exactly
+    like a failed track (the per-level search radius bounds how far a bad
+    guess can pull a point).
+
     Args:
       pyrs: (pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l) factor-2 pyramids.
+      rig: optional ``StereoRig`` enabling motion-model guesses.
+      T_pred: optional (4, 4) predicted T_21 (current from previous).
+      disp_prior: optional (N,) per-point disparity guess (level-0 px).
     Returns:
       dict with tracked points in each image and the combined valid mask.
     """
     pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l = pyrs
-    kw = dict(win=win, levels=levels, iters=iters, use_pallas=use_pallas,
+    kw = dict(win=win, iters=iters, use_pallas=use_pallas,
               pallas_kernel=pallas_kernel)
-    p_t1r, ok1 = track(pyr_t1l, pyr_t1r, pts_t1l, **kw)
-    p_t2r, ok2 = track(pyr_t1r, pyr_t2r, p_t1r, **kw)
-    p_t2l, ok3 = track(pyr_t2r, pyr_t2l, p_t2r, **kw)
-    p_t1l_back, ok4 = track(pyr_t2l, pyr_t1l, p_t2l, **kw)
+    lv_st = levels if stereo_levels is None else stereo_levels
+    lv_tm = levels if temporal_levels is None else temporal_levels
+    clipg = lambda g: jnp.clip(g, -max_guess, max_guess)
+
+    g1 = None
+    if use_sweep:
+        from . import stereo_sweep
+
+        L = min(2, len(pyr_t1l) - 1)
+        scale = 2.0 ** L
+        dmap1 = stereo_sweep.disparity_sweep(pyr_t1l[L], pyr_t1r[L],
+                                             d_max=sweep_d_max)
+        d0 = jnp.clip(stereo_sweep.sample_map(dmap1, pts_t1l, scale),
+                      0.0, max_disp)
+        g1 = jnp.stack([-d0, jnp.zeros_like(d0)], axis=-1)
+    elif disp_prior is not None:
+        d0 = jnp.clip(disp_prior, 0.0, max_disp)
+        g1 = jnp.stack([-d0, jnp.zeros_like(d0)], axis=-1)
+    p_t1r, ok1 = track(pyr_t1l, pyr_t1r, pts_t1l, init_flow=g1,
+                       active=valid, levels=lv_st if g1 is not None else levels,
+                       **kw)
+    ok1 = ok1 & valid
+
+    g2 = g3 = g4 = None
+    if rig is not None and T_pred is not None:
+        fxB = rig.left.fx * rig.baseline
+        d1 = jnp.clip(pts_t1l[:, 0] - p_t1r[:, 0], 1.0, max_disp)
+        X = rig.left.unproject(pts_t1l, fxB / d1)
+        X2 = se3.transform_points(T_pred, X)
+        z2 = jnp.maximum(X2[:, 2], 0.5)
+        X2 = X2.at[:, 2].set(z2)
+        p2l_pred = rig.left.project(X2)
+        d2_pred = jnp.clip(fxB / z2, 0.0, max_disp)
+        p2r_pred = p2l_pred - jnp.stack(
+            [d2_pred, jnp.zeros_like(d2_pred)], axis=-1)
+        g2 = clipg(p2r_pred - p_t1r)
+    p_t2r, ok2 = track(pyr_t1r, pyr_t2r, p_t1r, init_flow=g2,
+                       active=ok1, levels=lv_tm if g2 is not None else levels,
+                       **kw)
+    ok2 = ok2 & ok1
+
+    if use_sweep:
+        # Frame-2 disparity map for the t2R -> t2L leg (flow = +d at t2).
+        dmap2 = stereo_sweep.disparity_sweep(pyr_t2l[L], pyr_t2r[L],
+                                             d_max=sweep_d_max)
+        at = p2l_pred if g2 is not None else p_t2r
+        d2s = jnp.clip(stereo_sweep.sample_map(dmap2, at, scale),
+                       0.0, max_disp)
+        g3 = jnp.stack([d2s, jnp.zeros_like(d2s)], axis=-1)
+    elif g2 is not None:
+        g3 = clipg(p2l_pred - p_t2r)
+    p_t2l, ok3 = track(pyr_t2r, pyr_t2l, p_t2r, init_flow=g3,
+                       active=ok2, levels=lv_st if g3 is not None else levels,
+                       **kw)
+    ok3 = ok3 & ok2
+
+    if g2 is not None or use_sweep:
+        g4 = clipg(pts_t1l - p_t2l)
+    p_t1l_back, ok4 = track(pyr_t2l, pyr_t1l, p_t2l, init_flow=g4,
+                            active=ok3, levels=lv_tm if g4 is not None else levels,
+                            **kw)
 
     epi1 = jnp.abs(pts_t1l[:, 1] - p_t1r[:, 1]) <= feature_match_error
     epi2 = jnp.abs(p_t2l[:, 1] - p_t2r[:, 1]) <= feature_match_error

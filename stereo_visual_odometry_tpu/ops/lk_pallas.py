@@ -73,9 +73,21 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
         block = pltpu.roll(block, -crem, axis=1)
         return block[:rows_out, :cols_out]
 
-    def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref,
+    def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref, act_ref,
                prev_ref, next_ref, flow_ref, ok_ref):
         for j in range(BLK):
+            # Inactive points skip all work (cost here is per-point).
+            flow_ref[j, 0] = 0.0
+            flow_ref[j, 1] = 0.0
+            ok_ref[j, 0] = 0.0
+
+            @pl.when(act_ref[j, 0] > 0)
+            def _point(j=j):
+                _point_body(prow_ref, pcol_ref, grow_ref, gcol_ref,
+                            prev_ref, next_ref, flow_ref, ok_ref, j)
+
+    def _point_body(prow_ref, pcol_ref, grow_ref, gcol_ref,
+                    prev_ref, next_ref, flow_ref, ok_ref, j):
             # Template: bilinear field around (prow - r - 1, pcol - r - 1).
             py = prow_ref[j, 0]
             px = pcol_ref[j, 0]
@@ -153,13 +165,15 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
                        pts: jax.Array, guess: jax.Array, win: int = 21,
                        iters: int = 30, eps: float = 0.01, min_eig: float = 1e-4,
                        search_radius: int = 6, pad: int = 0,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       active: jax.Array | None = None):
     """One LK level for N points (N divisible by BLK).
 
     Args:
       img_prev_pad / img_next_pad: (Hp, Wp) float32, edge-padded by ``pad``.
       pts: (N, 2) [x, y] level coords (unpadded frame).
       guess: (N, 2) incoming flow.
+      active: optional (N,) bool; inactive points are skipped entirely.
     Returns: (flow (N, 2) — guess + found delta; ok (N,) bool).
     """
     n = pts.shape[0]
@@ -171,6 +185,8 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     pcol = (pts[:, 0:1] + pad).astype(jnp.float32)
     grow = guess[:, 1:2].astype(jnp.float32)
     gcol = guess[:, 0:1].astype(jnp.float32)
+    actv = (jnp.ones((n, 1), jnp.float32) if active is None
+            else active.reshape(n, 1).astype(jnp.float32))
 
     kernel = _make_kernel(win, hp, wp, iters, eps, min_eig, search_radius)
     grid = (n // BLK,)
@@ -179,7 +195,7 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     flow_d, ok_d = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk1(), blk1(), blk1(), blk1(),
+        in_specs=[blk1(), blk1(), blk1(), blk1(), blk1(),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((BLK, 2), lambda i: (i, 0),
@@ -189,7 +205,7 @@ def level_track_pallas(img_prev_pad: jax.Array, img_next_pad: jax.Array,
         out_shape=(jax.ShapeDtypeStruct((n, 2), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)),
         interpret=interpret,
-    )(prow, pcol, grow, gcol,
+    )(prow, pcol, grow, gcol, actv,
       img_prev_pad.astype(jnp.float32), img_next_pad.astype(jnp.float32))
 
     flow = guess + flow_d  # kernel iterates the delta from the guess

@@ -77,9 +77,23 @@ def _make_kernel(win: int, hp: int, wp: int, iters: int, eps: float,
         return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx +
                 c * fy * (1 - fx) + d * fy * fx)
 
-    def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref,
+    def kernel(prow_ref, pcol_ref, grow_ref, gcol_ref, act_ref,
                prev_ref, next_ref, flow_ref, ok_ref):
         for j in range(BLK):
+            # Inactive points (invalid slots, failed earlier legs) skip ALL
+            # work — on TPU the kernel cost is per-point iteration, so a
+            # ~25% dead-slot rate is a direct ~25% saving.
+            flow_ref[j, 0] = 0.0
+            flow_ref[j, 1] = 0.0
+            ok_ref[j, 0] = 0.0
+
+            @pl.when(act_ref[j, 0] > 0)
+            def _point(j=j):
+                self_body(prow_ref, pcol_ref, grow_ref, gcol_ref,
+                          prev_ref, next_ref, flow_ref, ok_ref, j)
+
+    def self_body(prow_ref, pcol_ref, grow_ref, gcol_ref,
+                  prev_ref, next_ref, flow_ref, ok_ref, j):
             # ---- template phase (identical to v1) ----------------------- #
             py = prow_ref[j, 0]
             px = pcol_ref[j, 0]
@@ -192,8 +206,13 @@ def level_track_pallas_cell(img_prev_pad: jax.Array, img_next_pad: jax.Array,
                             pts: jax.Array, guess: jax.Array, win: int = 21,
                             iters: int = 30, eps: float = 0.01,
                             min_eig: float = 1e-4, search_radius: int = 6,
-                            pad: int = 0, interpret: bool = False):
-    """Drop-in replacement for ``lk_pallas.level_track_pallas`` (same API)."""
+                            pad: int = 0, interpret: bool = False,
+                            active: jax.Array | None = None):
+    """Drop-in replacement for ``lk_pallas.level_track_pallas`` (same API).
+
+    ``active``: optional (N,) bool — inactive points are skipped entirely
+    (flow = guess, ok = False).
+    """
     n = pts.shape[0]
     assert n % BLK == 0, n
     hp, wp = img_prev_pad.shape
@@ -202,6 +221,8 @@ def level_track_pallas_cell(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     pcol = (pts[:, 0:1] + pad).astype(jnp.float32)
     grow = guess[:, 1:2].astype(jnp.float32)
     gcol = guess[:, 0:1].astype(jnp.float32)
+    actv = (jnp.ones((n, 1), jnp.float32) if active is None
+            else active.reshape(n, 1).astype(jnp.float32))
 
     kernel = _make_kernel(win, hp, wp, iters, eps, min_eig)
     blk1 = lambda: pl.BlockSpec((BLK, 1), lambda i: (i, 0),
@@ -209,7 +230,7 @@ def level_track_pallas_cell(img_prev_pad: jax.Array, img_next_pad: jax.Array,
     flow_d, ok_d = pl.pallas_call(
         kernel,
         grid=(n // BLK,),
-        in_specs=[blk1(), blk1(), blk1(), blk1(),
+        in_specs=[blk1(), blk1(), blk1(), blk1(), blk1(),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((BLK, 2), lambda i: (i, 0),
@@ -219,7 +240,7 @@ def level_track_pallas_cell(img_prev_pad: jax.Array, img_next_pad: jax.Array,
         out_shape=(jax.ShapeDtypeStruct((n, 2), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)),
         interpret=interpret,
-    )(prow, pcol, grow, gcol,
+    )(prow, pcol, grow, gcol, actv,
       img_prev_pad.astype(jnp.float32), img_next_pad.astype(jnp.float32))
 
     flow = guess + flow_d

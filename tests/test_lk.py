@@ -106,3 +106,26 @@ def test_circular_track_rejects_epipolar_violation():
     out = lk.circular_track(pyrs, jnp.asarray(pts), jnp.ones(len(pts), bool),
                             feature_match_error=1.0)
     assert np.asarray(out["valid"]).mean() < 0.1
+
+
+def test_disparity_sweep_recovers_shift():
+    """Plane-sweep prior: known-disparity rectified pair at a coarse level."""
+    import numpy as np
+    import cv2
+    import jax.numpy as jnp
+    from stereo_visual_odometry_tpu.ops import stereo_sweep
+
+    rng = np.random.default_rng(5)
+    h, w, d_true = 96, 320, 11
+    right = cv2.GaussianBlur((rng.random((h, w)) * 255).astype(np.float32),
+                             (7, 7), 1.5)
+    # left = right shifted right by d_true (so disparity = d_true)
+    left = np.roll(right, d_true, axis=1)
+    dmap = np.asarray(stereo_sweep.disparity_sweep(
+        jnp.asarray(left), jnp.asarray(right), d_max=32))
+    inner = dmap[10:-10, d_true + 10:-10]
+    assert np.median(np.abs(inner - d_true)) <= 1.0, np.median(inner)
+    # sample_map scales back to level-0 coords
+    xy = jnp.asarray([[80.0, 40.0], [200.0, 80.0]]) * 4.0
+    d0 = np.asarray(stereo_sweep.sample_map(jnp.asarray(dmap), xy, 4.0))
+    assert np.all(np.abs(d0 - 4 * d_true) <= 4.0)
