@@ -319,8 +319,8 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
 
     @jax.jit
     def init_fn(img_l, img_r, key):
-        fl = orb.detect_and_describe(img_l.astype(jnp.float32), **orb_kw)
-        fr = orb.detect_and_describe(img_r.astype(jnp.float32), **orb_kw)
+        fl, fr = orb.detect_and_describe_pair(
+            img_l.astype(jnp.float32), img_r.astype(jnp.float32), **orb_kw)
         n_det = jnp.sum(fl["valid"])
         status = jnp.where(n_det >= cfg.min_features_detect, TRACKING_GOOD, INITING)
         return {
@@ -332,8 +332,8 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
 
     @jax.jit
     def step_fn(state, img_l, img_r):
-        fl_cur = orb.detect_and_describe(img_l.astype(jnp.float32), **orb_kw)
-        fr_cur = orb.detect_and_describe(img_r.astype(jnp.float32), **orb_kw)
+        fl_cur, fr_cur = orb.detect_and_describe_pair(
+            img_l.astype(jnp.float32), img_r.astype(jnp.float32), **orb_kw)
 
         assoc = match.stereo_temporal_match(
             state["feat_l"], state["feat_r"], fl_cur,

@@ -149,8 +149,8 @@ def _bin_diff_weights() -> jax.Array:
     return jnp.asarray(_BIN_DIFF_NP)
 
 
-def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
-    """(N, 31, 31) blurred patches + (N,) angles -> (N, 8) packed uint32."""
+def brief_bits_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
+    """(N, 31, 31) blurred patches + (N,) angles -> (N, 256) 0/1 bits."""
     n = patches_blur.shape[0]
     flat = patches_blur.reshape(n, PATCH * PATCH)
     two_pi = 2.0 * jnp.pi
@@ -167,10 +167,20 @@ def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
                            preferred_element_type=jnp.float32)  # (N, B, 256)
     diffs = jnp.take_along_axis(
         diffs_all, bins[:, None, None], axis=1)[:, 0]  # (N, 256)
-    bits = (diffs > 0).astype(jnp.uint32)
-    words = bits.reshape(n, N_WORDS, 32)
+    return (diffs > 0).astype(jnp.uint32)
+
+
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """(N, 256) 0/1 -> (N, 8) packed uint32 (little-endian per word)."""
+    n = bits.shape[0]
+    words = bits.astype(jnp.uint32).reshape(n, N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
+    """(N, 31, 31) blurred patches + (N,) angles -> (N, 8) packed uint32."""
+    return pack_bits(brief_bits_from_patches(patches_blur, angle))
 
 
 def brief_descriptors(img_blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
@@ -273,3 +283,88 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
         })
 
     return {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+
+
+@partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
+                                   "cell", "k_per_cell"))
+def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
+                             n_features: int = 2000, levels: int = 8,
+                             scale_factor: float = 1.2, ini_th: float = 20.0,
+                             min_th: float = 7.0, cell: int = 32,
+                             k_per_cell: int = 8):
+    """ORB extraction on a stereo pair in ONE fused pass.
+
+    Same per-image semantics as ``detect_and_describe``, but every dense
+    stage runs batched over the pair (the matmul pyramid/blur broadcast, the
+    FAST/top-k stages vmap) and the per-level patch extraction + BRIEF
+    contraction run ONCE on both images' keypoints (the two blurred level
+    images are stacked vertically — the EDGE=19 keep-out guarantees no patch
+    crosses the seam). On TPU the ORB step is op-count-bound, so halving the
+    op count is a direct throughput win over two single-image passes.
+
+    Returns (feat_l, feat_r) dicts with the ``detect_and_describe`` schema.
+    """
+    imgs = jnp.stack([img_l.astype(jnp.float32), img_r.astype(jnp.float32)])
+    pyr = pyramid.scale_pyramid(imgs, levels, scale_factor)  # (2, h, w) levels
+    budgets = _level_budgets(n_features, levels, scale_factor)
+    from . import patch_pallas
+
+    outs_l, outs_r = [], []
+    for lvl, (level_imgs, budget) in enumerate(zip(pyr, budgets)):
+        if budget <= 0:
+            continue
+        h, w = level_imgs.shape[-2:]
+        ph = (h + cell - 1) // cell * cell
+        pw = (w + cell - 1) // cell * cell
+
+        def level_select(level_img):
+            score_lo = fast.detect(level_img, min_th)
+            hi = score_lo > ini_th
+            score = jnp.where(hi, score_lo + 1e4, score_lo)
+            score = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+            row = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+            inside = ((row >= EDGE) & (row < h - EDGE) &
+                      (col >= EDGE) & (col < w - EDGE))
+            score = jnp.where(inside, score, 0.0)
+            xy, sc, valid = select.grid_top_k(score, budget, cell=cell,
+                                              k_per_cell=k_per_cell)
+            sc = jnp.where(sc > 1e4, sc - 1e4, sc)
+            raw = jnp.pad(score_lo, ((0, ph - h), (0, pw - w)))
+            xy = select.subpixel_refine(raw, xy, valid)
+            return xy, sc, valid
+
+        # Per-image detection (vmapping FAST/top-k/subpixel measured SLOWER
+        # on hardware than two plain passes — batched reduce_window/gather
+        # lower poorly); the matmul stages above/below do batch well.
+        sel = [level_select(level_imgs[0]), level_select(level_imgs[1])]
+        xy2 = jnp.stack([sel[0][0], sel[1][0]])
+        sc2 = jnp.stack([sel[0][1], sel[1][1]])
+        valid2 = jnp.stack([sel[0][2], sel[1][2]])
+
+        blur = pyramid.gaussian_blur(level_imgs)               # (2, h, w)
+        # Per-image patch extraction (a stacked tall-image variant measured
+        # perf-neutral and the f32 row-offset jitters the fractional patch
+        # position by ~1e-5 px, flipping near-zero BRIEF bits); ONE angle +
+        # BRIEF contraction for both images' patches.
+        patches = jnp.concatenate(
+            [patch_pallas.extract_patches(blur[0], xy2[0], PATCH),
+             patch_pallas.extract_patches(blur[1], xy2[1], PATCH)], axis=0)
+        ang = ic_angle_from_patches(patches)
+        desc = brief_from_patches(patches, ang)
+
+        lvl_scale = scale_factor ** lvl
+        for side, outs in enumerate((outs_l, outs_r)):
+            sl = slice(side * budget, (side + 1) * budget)
+            outs.append({
+                "xy": xy2[side] * lvl_scale,
+                "desc": desc[sl],
+                "angle": ang[sl],
+                "score": sc2[side],
+                "level": jnp.full((budget,), lvl, dtype=jnp.int32),
+                "valid": valid2[side],
+            })
+
+    cat = lambda outs: {k: jnp.concatenate([o[k] for o in outs], axis=0)
+                        for k in outs[0]}
+    return cat(outs_l), cat(outs_r)

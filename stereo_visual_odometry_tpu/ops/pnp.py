@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from . import se3
 from .camera import Pinhole
+from .linalg_small import cholesky_unrolled, cho_solve_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
 MIN_SAMPLE = 6
@@ -58,15 +59,18 @@ def _dlt_pose(pts3d: jax.Array, norm2d: jax.Array, wmask: jax.Array) -> jax.Arra
     # separated and 3 Cholesky-solve sweeps converge. Batched 12x12 eigh is
     # an iterative QR kernel on TPU (~10x the cost of a Cholesky).
     jitter = 1e-9 * jnp.trace(AtA) + 1e-12
-    L = jax.scipy.linalg.cho_factor(AtA + jitter * jnp.eye(12, dtype=AtA.dtype))
+    L = cholesky_unrolled(AtA + jitter * jnp.eye(12, dtype=AtA.dtype))
     p = jnp.full((12,), 1.0 / jnp.sqrt(12.0), dtype=AtA.dtype)
     for _ in range(3):
-        p = jax.scipy.linalg.cho_solve(L, p)
+        p = cho_solve_unrolled(L, p)
         p = p / jnp.maximum(jnp.linalg.norm(p), 1e-30)
     P = p.reshape(3, 4)
     R_raw = P[:, :3]
     # Scale so that R has unit determinant magnitude; sign from cheirality.
-    scale = jnp.abs(jnp.linalg.det(R_raw)) ** (1.0 / 3.0)
+    det3 = (R_raw[0, 0] * (R_raw[1, 1] * R_raw[2, 2] - R_raw[1, 2] * R_raw[2, 1])
+            - R_raw[0, 1] * (R_raw[1, 0] * R_raw[2, 2] - R_raw[1, 2] * R_raw[2, 0])
+            + R_raw[0, 2] * (R_raw[1, 0] * R_raw[2, 1] - R_raw[1, 1] * R_raw[2, 0]))
+    scale = jnp.abs(det3) ** (1.0 / 3.0)
     scale = jnp.where(scale < 1e-12, 1.0, scale)
     P = P / scale
     centroid = jnp.sum(X * wmask[:, None], axis=0) / jnp.maximum(jnp.sum(wmask), 1.0)
@@ -121,10 +125,10 @@ def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Arr
         H = jnp.einsum("nij,nik->jk", Jw, J, precision=_HI)
         g = jnp.einsum("nij,ni->j", Jw, r, precision=_HI)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        # H is SPD (damped normal equations): Cholesky solve beats the
-        # pivoted-LU path jnp.linalg.solve lowers to on TPU.
-        delta = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H), -g)
+        # H is SPD (damped normal equations): fully-unrolled Cholesky —
+        # batched cho_factor/cho_solve of 6x6 lower to loop kernels on TPU
+        # and were the dominant PnP cost.
+        delta = cho_solve_unrolled(cholesky_unrolled(H), -g)
         T_new = se3.se3_exp(delta) @ T
         good = jnp.all(jnp.isfinite(delta))
         return jnp.where(good, T_new, T)
@@ -168,7 +172,16 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     # top-k: per hypothesis draw uniform scores, invalid entries -inf.
     scores = jax.random.uniform(key, (num_hypotheses, n))
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    _, samp_idx = jax.lax.top_k(scores, MIN_SAMPLE)  # (H, 6)
+    # Sample-index selection as MIN_SAMPLE argmax rounds (lax.top_k sorts
+    # the whole (H, N) matrix on TPU).
+    idx_l = []
+    work = scores
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    for _ in range(MIN_SAMPLE):
+        am = jnp.argmax(work, axis=-1).astype(jnp.int32)
+        idx_l.append(am)
+        work = jnp.where(lane == am[:, None], -jnp.inf, work)
+    samp_idx = jnp.stack(idx_l, axis=-1)  # (H, 6)
 
     # Hypothesis solvers. Most hypotheses are cheap: a short Gauss-Newton on
     # the 6-point subset seeded from the motion prior — no eigendecomposition

@@ -34,13 +34,14 @@ def _avg_matrices(h: int, w: int):
 
 
 def downsample2(img: jax.Array) -> jax.Array:
-    """(H, W) -> (H//2, W//2) by 2x2 mean pooling (H, W must be even).
+    """(..., H, W) -> (..., H//2, W//2) by 2x2 mean pooling (H, W even).
 
     Expressed as two matmuls with banded averaging matrices — the MXU path.
     Strided slicing, reduce_window, and single-channel convs all lower to
-    ~30 ms per KITTI frame on TPU; the matmuls are microseconds.
+    ~30 ms per KITTI frame on TPU; the matmuls are microseconds. Batch
+    dims broadcast through the matmuls (one MXU op for a stereo pair).
     """
-    h, w = img.shape
+    h, w = img.shape[-2:]
     d_row, d_col = _avg_matrices(h, w)
     out = jnp.matmul(jnp.asarray(d_row), img, precision=jax.lax.Precision.HIGHEST)
     return jnp.matmul(out, jnp.asarray(d_col), precision=jax.lax.Precision.HIGHEST)
@@ -73,10 +74,10 @@ def _resize_matrix(n_out: int, n_in: int):
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Arbitrary-size bilinear resize (align-corners=False, like cv::resize).
 
-    Separable resampling as two banded matmuls (MXU) — per-pixel gathers
-    scalarize on TPU.
+    Separable resampling as two banded matmuls (MXU); batch dims broadcast.
+    Per-pixel gathers scalarize on TPU.
     """
-    h, w = img.shape
+    h, w = img.shape[-2:]
     mr = jnp.asarray(_resize_matrix(out_h, h))
     mc = jnp.asarray(_resize_matrix(out_w, w))
     out = jnp.matmul(mr, img.astype(jnp.float32),
@@ -89,9 +90,10 @@ def scale_pyramid(img: jax.Array, levels: int, scale_factor: float) -> list[jax.
 
     Mirrors the level geometry of ``ComputePyramid`` (``ORBextractor.cpp:
     1061-1085``) without the explicit 19 px border (our samplers clamp at
-    edges instead; detection masks handle the edge threshold).
+    edges instead; detection masks handle the edge threshold). Accepts
+    (..., H, W); leading dims batch through the matmuls.
     """
-    h, w = img.shape
+    h, w = img.shape[-2:]
     out = [img.astype(jnp.float32)]
     for lvl in range(1, levels):
         s = 1.0 / (scale_factor ** lvl)
@@ -120,9 +122,9 @@ def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Arr
     BRIEF sampling (``ORBextractor.cpp:1033-1035``).
 
     Expressed as two banded matmuls (B_row @ img @ B_col^T) — single-channel
-    convs lower terribly on TPU; these ride the MXU.
+    convs lower terribly on TPU; these ride the MXU. Batch dims broadcast.
     """
-    h, w = img.shape
+    h, w = img.shape[-2:]
     br = jnp.asarray(_blur_matrix(h, ksize, sigma))
     bc = jnp.asarray(_blur_matrix(w, ksize, sigma))
     img = img.astype(jnp.float32)

@@ -52,7 +52,20 @@ def grid_top_k(score: jax.Array, k_total: int, cell: int = 32, k_per_cell: int =
     gh, gw = h // cell, w // cell
     # (gh, gw, cell*cell) per-cell flattened scores.
     cells = score.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
-    vals, idx = jax.lax.top_k(cells, k_per_cell)  # (gh, gw, k_per_cell)
+    # Per-cell top-k as k rounds of (max, mask-out): lax.top_k lowers to a
+    # full sort of every cell on TPU (measured as the largest single op
+    # class in the ORB step); k reduce+select rounds fuse into cheap VPU
+    # passes. Tie order (first index wins) matches lax.top_k.
+    lane = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 2)
+    vals_l, idx_l = [], []
+    work = cells
+    for _ in range(k_per_cell):
+        am = jnp.argmax(work, axis=-1).astype(jnp.int32)    # (gh, gw)
+        vals_l.append(jnp.max(work, axis=-1))
+        idx_l.append(am)
+        work = jnp.where(lane == am[..., None], -jnp.inf, work)
+    vals = jnp.stack(vals_l, axis=-1)                       # (gh, gw, k)
+    idx = jnp.stack(idx_l, axis=-1)
     cy = idx // cell
     cx = idx % cell
     row0 = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) * cell

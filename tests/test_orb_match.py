@@ -112,3 +112,26 @@ def test_stereo_temporal_match_pipeline():
     assert np.abs(np.median(d) - disp) < 1.0
     # Epipolar gate enforced.
     assert np.all(np.abs(xy_l[:, 1] - xy_r[:, 1]) < 2.0)
+
+
+def test_pair_extraction_matches_single():
+    """detect_and_describe_pair == two detect_and_describe calls."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stereo_visual_odometry_tpu.ops import orb
+
+    rng = np.random.default_rng(3)
+    img_l = (rng.random((160, 256)) * 255).astype(np.float32)
+    img_r = np.roll(img_l, 7, axis=1)
+    kw = dict(n_features=128, levels=4, cell=32, k_per_cell=4)
+    fl, fr = orb.detect_and_describe_pair(jnp.asarray(img_l), jnp.asarray(img_r), **kw)
+    sl = orb.detect_and_describe(jnp.asarray(img_l), **kw)
+    sr = orb.detect_and_describe(jnp.asarray(img_r), **kw)
+    for pair, single in ((fl, sl), (fr, sr)):
+        assert np.array_equal(np.asarray(pair["valid"]), np.asarray(single["valid"]))
+        v = np.asarray(single["valid"])
+        assert np.allclose(np.asarray(pair["xy"])[v], np.asarray(single["xy"])[v],
+                           atol=1e-4)
+        assert np.array_equal(np.asarray(pair["level"]), np.asarray(single["level"]))
+        # descriptors bit-identical on valid slots
+        assert np.array_equal(np.asarray(pair["desc"])[v], np.asarray(single["desc"])[v])
