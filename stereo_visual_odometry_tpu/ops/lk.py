@@ -170,10 +170,12 @@ def use_pallas_default() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("win", "levels", "iters", "eps", "min_eig",
+@partial(jax.jit, static_argnames=("win", "levels", "iters", "eps",
+                                   "eps_coarse", "min_eig",
                                    "use_pallas", "pallas_kernel"))
 def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
           win: int = 21, levels: int = 3, iters: int = 30, eps: float = 0.01,
+          eps_coarse: float = 0.03,
           min_eig: float = 1e-4, use_pallas: bool = False,
           pallas_kernel: str = "cell", init_flow: jax.Array | None = None,
           active: jax.Array | None = None,
@@ -221,6 +223,10 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
     ok_all = jnp.ones(pts.shape[0], dtype=bool)
     for lvl in range(n_levels - 1, -1, -1):
         radius = SEARCH_RADIUS_COARSEST if lvl == n_levels - 1 else SEARCH_RADIUS_REFINE
+        # Coarse levels only hand a guess to the next level (which searches
+        # +-radius around it); iterating them to the finest-level eps is
+        # wasted work — on TPU the LK kernel cost scales with iterations.
+        eps_l = eps if lvl == 0 else max(eps, eps_coarse)
         scale = 2.0 ** lvl
         pts_l = pts / scale
         ip, inx = pyr_prev[lvl], pyr_next[lvl]
@@ -251,11 +257,11 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
             else:
                 level_fn = lk_pallas.level_track_pallas
             flow, ok = level_fn(
-                ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps,
+                ipp, inxp, pts_l, flow, win=win, iters=iters, eps=eps_l,
                 min_eig=min_eig, search_radius=radius, pad=pad, active=active)
         else:
             flow, ok = _level_track(ip, inx, pts_l, flow,
-                                    win, iters, eps, min_eig, radius,
+                                    win, iters, eps_l, min_eig, radius,
                                     active=active)
         ok_all = ok_all & ok
         if lvl > 0:
@@ -312,6 +318,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                    feature_match_error: float = 2.0,
                    cycle_error: float = 2.0,
                    win: int = 21, levels: int = 3, iters: int = 30,
+                   eps: float = 0.01, eps_coarse: float = 0.03,
                    use_pallas: bool = False, pallas_kernel: str = "cell",
                    rig=None, T_pred: jax.Array | None = None,
                    disp_prior: jax.Array | None = None,
@@ -349,8 +356,8 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
       dict with tracked points in each image and the combined valid mask.
     """
     pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l = pyrs
-    kw = dict(win=win, iters=iters, use_pallas=use_pallas,
-              pallas_kernel=pallas_kernel)
+    kw = dict(win=win, iters=iters, eps=eps, eps_coarse=eps_coarse,
+              use_pallas=use_pallas, pallas_kernel=pallas_kernel)
     lv_st = levels if stereo_levels is None else stereo_levels
     lv_tm = levels if temporal_levels is None else temporal_levels
     clipg = lambda g: jnp.clip(g, -max_guess, max_guess)

@@ -170,18 +170,17 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
 
     # Sample hypothesis index sets, biased to valid entries via masked gumbel
     # top-k: per hypothesis draw uniform scores, invalid entries -inf.
-    scores = jax.random.uniform(key, (num_hypotheses, n))
-    scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    # Sample-index selection as MIN_SAMPLE argmax rounds (lax.top_k sorts
-    # the whole (H, N) matrix on TPU).
-    idx_l = []
-    work = scores
-    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    for _ in range(MIN_SAMPLE):
-        am = jnp.argmax(work, axis=-1).astype(jnp.int32)
-        idx_l.append(am)
-        work = jnp.where(lane == am[:, None], -jnp.inf, work)
-    samp_idx = jnp.stack(idx_l, axis=-1)  # (H, 6)
+    # Compact-then-draw sampling: pack valid indices first (one (N,) stable
+    # argsort), then draw (H, 6) uniform positions over the valid prefix.
+    # Per-hypothesis masked-score selection over the full (H, N) matrix
+    # (rounds of argmax, or lax.top_k's sort) measured as the single biggest
+    # PnP stage. Draws are with replacement — a duplicate inside a sample
+    # makes that hypothesis rank-deficient, which the scoring discards.
+    perm = jnp.argsort(jnp.logical_not(valid), stable=True).astype(jnp.int32)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.uniform(key, (num_hypotheses, MIN_SAMPLE))
+    pos = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    samp_idx = perm[pos]  # (H, 6)
 
     # Hypothesis solvers. Most hypotheses are cheap: a short Gauss-Newton on
     # the 6-point subset seeded from the motion prior — no eigendecomposition

@@ -245,3 +245,36 @@ def test_block_full_track_parity():
     assert np.max(d) < 0.1, d.max()
     err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
     assert np.median(err) < 0.2
+
+
+def test_cell_kernel_custom_vmap_batch_rule():
+    """vmapped cell kernel == per-sequence calls (stacked-image batch rule)."""
+    import jax
+    from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+
+    img0a = textured(128, 192)
+    img0b = textured(128, 192) + 3.0
+    img1a = shift(img0a, 2.0, -1.0)
+    img1b = shift(img0b, -1.5, 2.5)
+    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
+                   np.float32)
+    n = len(pts) - len(pts) % lk_pallas_cell.BLK
+    pts = jnp.asarray(pts[:n])
+    guess = jnp.zeros_like(pts)
+    pad = 12
+    ih, iw = 128 + 2 * pad, 192 + 2 * pad
+    pads = ((pad, pad + (-ih) % 8), (pad, pad + (-iw) % 128))
+    prep = lambda im: jnp.pad(jnp.asarray(im), pads, mode="edge")
+    ips = jnp.stack([prep(img0a), prep(img0b)])
+    inxs = jnp.stack([prep(img1a), prep(img1b)])
+
+    fn = lambda ip, inx: lk_pallas_cell.level_track_pallas_cell(
+        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
+        interpret=True)
+    f_b, ok_b = jax.vmap(fn)(ips, inxs)
+    for s in range(2):
+        f_s, ok_s = fn(ips[s], inxs[s])
+        both = np.asarray(ok_s) & np.asarray(ok_b[s])
+        assert both.mean() > 0.8
+        d = np.linalg.norm(np.asarray(f_s)[both] - np.asarray(f_b[s])[both], axis=1)
+        assert d.max() < 1e-2, d.max()
