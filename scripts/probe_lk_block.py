@@ -10,7 +10,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 from functools import partial
-from stereo_visual_odometry_tpu.ops import lk_pallas_cell, lk_pallas_block
+from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+import lk_pallas_block  # archived kernel, lives in scripts/
 
 H, W = 384, 1280
 N = 1024

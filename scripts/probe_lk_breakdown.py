@@ -13,7 +13,7 @@ import jax, jax.numpy as jnp
 from functools import partial
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-import stereo_visual_odometry_tpu.ops.lk_pallas_block as B
+import lk_pallas_block as B  # archived kernel, lives in scripts/
 
 H, W = 384, 1280
 N = 1024

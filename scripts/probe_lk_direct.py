@@ -5,7 +5,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
-from stereo_visual_odometry_tpu.ops import lk_pallas_cell, lk_pallas_block
+from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+import lk_pallas_block  # archived kernel, lives in scripts/
 
 H, W = 384, 1280
 N = 1024

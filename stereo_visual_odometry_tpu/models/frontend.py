@@ -77,7 +77,7 @@ class VOConfig:
     replenish_min_dist: float = 8.0   # px spacing for new detections
     # LK backend: "auto" = Pallas kernel on TPU, XLA formulation on CPU.
     lk_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
-    lk_kernel: str = "cell"           # 'cell' | 'block' | 'v1' Pallas variant
+    lk_kernel: str = "cell"           # 'cell' | 'v1' Pallas variant
     # Predictive LK initialization (TPU-first: kernel cost scales with
     # pixel-cell crossings, so legs start from a disparity prior + the
     # constant-velocity motion model instead of zero flow).

@@ -21,20 +21,38 @@ def cholesky_unrolled(A, eps: float = 1e-20):
 
     Returns the lower factor as a list-of-lists of (...,) arrays
     (L[i][j] for j <= i) — kept unpacked so the companion solve needs no
-    dynamic indexing either.
+    dynamic indexing either. Non-positive pivots are floored at ``eps``
+    (finite garbage, caller filters); use ``cholesky_unrolled_flagged`` when
+    the caller needs to KNOW the matrix was not SPD.
     """
+    return _chol(A, eps)[0]
+
+
+def cholesky_unrolled_flagged(A, eps: float = 1e-20):
+    """Like ``cholesky_unrolled`` but also returns ``ok``: (...,) bool,
+    False where any pivot was non-positive (rank-deficient / indefinite
+    input — e.g. a RANSAC sample with duplicate points). The factor is
+    still finite (pivots floored) so downstream solves stay NaN-free; the
+    flag lets the caller zero the step or kill the hypothesis explicitly."""
+    return _chol(A, eps)
+
+
+def _chol(A, eps):
     n = A.shape[-1]
     L = [[None] * n for _ in range(n)]
+    ok = None
     for i in range(n):
         for j in range(i + 1):
             s = A[..., i, j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
+                good = s > 0
+                ok = good if ok is None else (ok & good)
                 L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
             else:
                 L[i][j] = s / L[j][j]
-    return L
+    return L, ok
 
 
 def cho_solve_unrolled(L, b):

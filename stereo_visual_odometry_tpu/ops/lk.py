@@ -246,11 +246,7 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
             pads = ((pad, pad + eh), (pad, pad + ew))
             ipp = jnp.pad(ip, pads, mode="edge")
             inxp = jnp.pad(inx, pads, mode="edge")
-            if pallas_kernel == "block":
-                from . import lk_pallas_block
-
-                level_fn = lk_pallas_block.level_track_pallas_block
-            elif pallas_kernel == "cell":
+            if pallas_kernel == "cell":
                 from . import lk_pallas_cell
 
                 level_fn = lk_pallas_cell.level_track_pallas_cell
@@ -414,8 +410,15 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                        **kw)
     ok3 = ok3 & ok2
 
-    if g2 is not None or use_sweep:
-        g4 = clipg(pts_t1l - p_t2l)
+    if g2 is not None:
+        # Back-leg guess from the MOTION MODEL, not from pts_t1l itself:
+        # initializing at the cycle-gate pass condition (pts_t1l - p_t2l)
+        # would bias the verification leg toward the local minimum at the
+        # expected answer and weaken the forward-backward filter. The
+        # reverse of the predicted temporal flow is independent of the
+        # tracked result, so a bad forward track still has to *earn* cycle
+        # closure through real iterations.
+        g4 = clipg(pts_t1l - p2l_pred)
     p_t1l_back, ok4 = track(pyr_t2l, pyr_t1l, p_t2l, init_flow=g4,
                             active=ok3, levels=lv_tm if g4 is not None else levels,
                             **kw)

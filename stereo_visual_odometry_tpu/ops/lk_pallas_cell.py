@@ -249,10 +249,21 @@ def _make_call(win: int, iters: int, eps: float, min_eig: float,
             ip = bcast(ip, in_batched[0])
             inx = bcast(inx, in_batched[1])
             hp, wp = ip.shape[1:]
-            off = (jnp.arange(S, dtype=jnp.float32) * hp)[:, None, None]
+            # Guard band between stacked images: the kernel clamps iterating
+            # windows at STACK bounds, so without it a window near an image's
+            # top/bottom edge could read the neighboring sequence's pixels.
+            # 32 edge-replicated rows (multiple of 8, >= coarsest search
+            # radius 20 + half-window 10 + 2) keep every in-image window
+            # inside its own image's replicated padding.
+            guard = 32
+            gpad = ((0, 0), (guard, guard), (0, 0))
+            ip = jnp.pad(ip, gpad, mode="edge")
+            inx = jnp.pad(inx, gpad, mode="edge")
+            hpg = hp + 2 * guard
+            off = (jnp.arange(S, dtype=jnp.float32) * hpg + guard)[:, None, None]
             prow = prow + off
-            ip = ip.reshape(S * hp, wp)
-            inx = inx.reshape(S * hp, wp)
+            ip = ip.reshape(S * hpg, wp)
+            inx = inx.reshape(S * hpg, wp)
         flat = lambda a: a.reshape(S * n, a.shape[-1])
         flow, ok = call(ip, inx, flat(prow), flat(pcol), flat(grow),
                         flat(gcol), flat(actv))

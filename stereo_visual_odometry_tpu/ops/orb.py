@@ -294,13 +294,13 @@ def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
                              k_per_cell: int = 8):
     """ORB extraction on a stereo pair in ONE fused pass.
 
-    Same per-image semantics as ``detect_and_describe``, but every dense
-    stage runs batched over the pair (the matmul pyramid/blur broadcast, the
-    FAST/top-k stages vmap) and the per-level patch extraction + BRIEF
-    contraction run ONCE on both images' keypoints (the two blurred level
-    images are stacked vertically — the EDGE=19 keep-out guarantees no patch
-    crosses the seam). On TPU the ORB step is op-count-bound, so halving the
-    op count is a direct throughput win over two single-image passes.
+    Same per-image semantics as ``detect_and_describe``, but the dense
+    matmul stages (pyramid, blur) run batched over the pair, detection runs
+    per image (vmapped FAST/top-k lowers poorly — see inline note), patches
+    are extracted per image, and the angle + BRIEF contraction runs ONCE on
+    the concatenated (2*budget, 31, 31) patch set. On TPU the ORB step is
+    op-count-bound, so fusing the contraction is a direct throughput win
+    over two single-image passes.
 
     Returns (feat_l, feat_r) dicts with the ``detect_and_describe`` schema.
     """

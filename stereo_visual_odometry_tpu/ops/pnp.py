@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from . import se3
 from .camera import Pinhole
-from .linalg_small import cholesky_unrolled, cho_solve_unrolled
+from .linalg_small import (cholesky_unrolled, cholesky_unrolled_flagged,
+                           cho_solve_unrolled)
 
 _HI = jax.lax.Precision.HIGHEST
 MIN_SAMPLE = 6
@@ -127,10 +128,14 @@ def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Arr
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
         # H is SPD (damped normal equations): fully-unrolled Cholesky —
         # batched cho_factor/cho_solve of 6x6 lower to loop kernels on TPU
-        # and were the dominant PnP cost.
-        delta = cho_solve_unrolled(cholesky_unrolled(H), -g)
+        # and were the dominant PnP cost. A non-SPD H (rank-deficient
+        # sample, e.g. duplicate points) flags spd_ok False: the floored
+        # pivots would otherwise produce a huge FINITE delta that slips
+        # past the isfinite guard.
+        L, spd_ok = cholesky_unrolled_flagged(H)
+        delta = cho_solve_unrolled(L, -g)
         T_new = se3.se3_exp(delta) @ T
-        good = jnp.all(jnp.isfinite(delta))
+        good = spd_ok & jnp.all(jnp.isfinite(delta))
         return jnp.where(good, T_new, T)
 
     return jax.lax.fori_loop(0, iters, body, T0)
@@ -181,6 +186,11 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     u = jax.random.uniform(key, (num_hypotheses, MIN_SAMPLE))
     pos = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
     samp_idx = perm[pos]  # (H, 6)
+    # Duplicate indices inside a sample make that hypothesis rank-deficient;
+    # mark it degenerate up front (sorted-adjacent equality) instead of
+    # relying on the eps-floored Cholesky + scoring to discard the garbage.
+    pos_sorted = jnp.sort(pos, axis=-1)
+    samp_dup = jnp.any(pos_sorted[:, 1:] == pos_sorted[:, :-1], axis=-1)
 
     # Hypothesis solvers. Most hypotheses are cheap: a short Gauss-Newton on
     # the 6-point subset seeded from the motion prior — no eigendecomposition
@@ -215,8 +225,12 @@ def ransac_pnp(cam: Pinhole, pts3d: jax.Array, px: jax.Array, valid: jax.Array,
     msac = jnp.sum(jnp.where(valid[None, :], jnp.minimum(e2, thr2), 0.0) *
                    weights[None, :], axis=-1)
     # Degenerate samples can yield NaN poses (rank-deficient DLT, diverged
-    # GN); make sure they can never win the argmin.
-    msac = jnp.where(jnp.isnan(msac), jnp.inf, msac)
+    # GN) or finite-garbage ones (duplicate indices in the sample); make
+    # sure neither can win the argmin. T_init (if present) is never
+    # degenerate, hence the False pad.
+    hyp_dup = jnp.concatenate(
+        [samp_dup, jnp.zeros(T_hyp.shape[0] - num_hypotheses, bool)])
+    msac = jnp.where(jnp.isnan(msac) | hyp_dup, jnp.inf, msac)
     best = jnp.argmin(msac)
     T_best = T_hyp[best]
     inliers = inl[best]

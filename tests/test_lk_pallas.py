@@ -161,92 +161,6 @@ def test_cell_kernel_nonzero_guess():
     assert np.max(d) < 0.05, d.max()
 
 
-def test_v2_kernel_matches_xla_level():
-    from stereo_visual_odometry_tpu.ops import lk_pallas_v2
-
-    img0 = textured()
-    img1 = shift(img0, 2.7, -1.4)
-    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
-                   np.float32)
-    n = len(pts) - len(pts) % lk_pallas_v2.BLK
-    pts = jnp.asarray(pts[:n])
-    guess = jnp.zeros_like(pts)
-    f_x, ok_x = lk._level_track(jnp.asarray(img0), jnp.asarray(img1), pts, guess,
-                                21, 30, 0.01, 1e-4, 6)
-    pad = 12
-    ip = jnp.pad(jnp.asarray(img0), pad, mode="edge")
-    inx = jnp.pad(jnp.asarray(img1), pad, mode="edge")
-    f_p, ok_p = lk_pallas_v2.level_track_pallas_v2(
-        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
-        interpret=True)
-    ok_both = np.asarray(ok_x) & np.asarray(ok_p)
-    assert ok_both.mean() > 0.8
-    d = np.linalg.norm(np.asarray(f_x)[ok_both] - np.asarray(f_p)[ok_both], axis=1)
-    assert np.max(d) < 0.05, d.max()
-
-
-def test_block_kernel_matches_v1_level():
-    """Block-vectorized kernel (v3): parity vs v1 at the level call."""
-    from stereo_visual_odometry_tpu.ops import lk_pallas_block
-
-    img0 = textured()
-    img1 = shift(img0, 2.7, -1.4)
-    pts = np.array([(x, y) for y in range(30, 100, 16) for x in range(30, 160, 16)],
-                   np.float32)
-    n = len(pts) - len(pts) % lk_pallas_block.BLK
-    pts = jnp.asarray(pts[:n])
-    guess = jnp.zeros_like(pts)
-    pad = 12
-    # lk.track's pallas padding contract: height mult of 8, width mult of 128.
-    ih, iw = img0.shape[0] + 2 * pad, img0.shape[1] + 2 * pad
-    pads = ((pad, pad + (-ih) % 8), (pad, pad + (-iw) % 128))
-    ip = jnp.pad(jnp.asarray(img0), pads, mode="edge")
-    inx = jnp.pad(jnp.asarray(img1), pads, mode="edge")
-    f_1, ok_1 = lk_pallas.level_track_pallas(ip, inx, pts, guess, win=21,
-                                             iters=30, search_radius=6, pad=pad,
-                                             interpret=True)
-    f_b, ok_b = lk_pallas_block.level_track_pallas_block(
-        ip, inx, pts, guess, win=21, iters=30, search_radius=6, pad=pad,
-        interpret=True)
-    both = np.asarray(ok_1) & np.asarray(ok_b)
-    assert both.mean() > 0.8
-    d = np.linalg.norm(np.asarray(f_1)[both] - np.asarray(f_b)[both], axis=1)
-    assert np.max(d) < 0.05, d.max()
-    err = np.linalg.norm(np.asarray(f_b)[both] - [2.7, -1.4], axis=1)
-    assert np.median(err) < 0.1
-
-
-def test_block_full_track_parity():
-    """lk.track with the block kernel vs XLA, interpret mode."""
-    import stereo_visual_odometry_tpu.ops.lk_pallas_block as lpb
-
-    img0 = textured(160, 224)
-    img1 = shift(img0, 6.0, 3.5)
-    pts = np.array([(x, y) for y in range(40, 120, 24) for x in range(40, 180, 24)],
-                   np.float32)
-    p0 = tuple(pyramid.build_pyramid(jnp.asarray(img0), 4))
-    p1 = tuple(pyramid.build_pyramid(jnp.asarray(img1), 4))
-    orig = lpb.level_track_pallas_block
-
-    def interp_version(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    lpb.level_track_pallas_block = interp_version
-    try:
-        n_p, ok_p = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=True,
-                             pallas_kernel="block")
-    finally:
-        lpb.level_track_pallas_block = orig
-    n_x, ok_x = lk.track(p0, p1, jnp.asarray(pts), levels=3, use_pallas=False)
-    both = np.asarray(ok_p) & np.asarray(ok_x)
-    assert both.mean() > 0.8
-    d = np.linalg.norm(np.asarray(n_p)[both] - np.asarray(n_x)[both], axis=1)
-    assert np.max(d) < 0.1, d.max()
-    err = np.linalg.norm(np.asarray(n_p)[both] - (pts[both] + [6.0, 3.5]), axis=1)
-    assert np.median(err) < 0.2
-
-
 def test_cell_kernel_custom_vmap_batch_rule():
     """vmapped cell kernel == per-sequence calls (stacked-image batch rule)."""
     import jax
