@@ -66,7 +66,12 @@ class VOConfig:
     # (tracking.cpp:543-544); the mutual cross-check compounds with the
     # two-matching + adaptive gate and collapses yield (VERDICT r2 weak#2).
     orb_mutual: bool = False
-    orb_dedup_radius: float = 3.0     # cross-level keypoint NMS (px; 0 = off)
+    # Cross-level keypoint NMS (px; 0 = off). Off by default: the two-grid
+    # bin champion rule also suppresses DISTINCT corners within ~radius px,
+    # and measured on the synthetic e2e sequence it cuts the tracked set
+    # ~4x (285 -> 71) and doubles ATE. With the one-way matcher + floor-50
+    # gate the duplicate aliasing it targeted is no longer the yield limiter.
+    orb_dedup_radius: float = 0.0
     # Triangulation depth gate
     z_min: float = 0.5
     z_max: float = 200.0
@@ -77,7 +82,11 @@ class VOConfig:
     # Quality gates
     min_features_detect: int = 30     # tracking.cpp:261-265
     min_features_track: int = 10      # num_features_tracking_
-    min_inlier_rate: float = 0.5      # inlier_rate_
+    # inlier_rate_ (default.yaml:77 uses 0.01). 0.05 here: strict enough to
+    # catch degenerate solves, lax enough not to reject healthy RANSAC poses
+    # on low-precision associations (a 0.5 gate rejected every ORB frame at
+    # ~10% inlier ratio even when the pose itself was metrically correct).
+    min_inlier_rate: float = 0.05
     min_move: float = 0.0005          # minmove_ (m)
     max_move: float = 10.0            # maxmove_ (m)
     max_euler: float = 0.1            # rad per axis, tracking.cpp:212-215

@@ -112,7 +112,7 @@ def load_reference_yaml(path: str) -> RunConfig:
         inlier_px=float(g("reprojectionError", 2.0)),
         min_features_detect=int(g("num_features_init", 30)),
         min_features_track=int(g("num_features_tracking", 10)),
-        min_inlier_rate=float(g("inlier_rate", 0.5)),
+        min_inlier_rate=float(g("inlier_rate", 0.05)),
         min_move=float(g("minmove", 0.0005)),
         max_move=float(g("maxmove", 10.0)),
     )
