@@ -1,0 +1,63 @@
+"""Classify ORB associations against synthetic ground truth.
+
+For each surviving (t1L, t1R, t2L) association: triangulate the t-1 stereo
+pair, transform by the GT relative pose, reproject into t2L, and compare
+with the matched t2L position. Separates association precision (wrong
+matches passing the gates) from estimator error. Sweeps the distance gate.
+"""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_visual_odometry_tpu.ops import orb, match, triangulate
+from stereo_visual_odometry_tpu.ops.camera import StereoRig
+from stereo_visual_odometry_tpu.utils import synthetic
+
+H_RAW, W_RAW = 376, 1241
+H, W = 384, 1280
+FX, BASE = 718.856, 0.537
+
+seq = synthetic.render_sequence(n_frames=6, h=H_RAW, w=W_RAW, fx=FX,
+                                baseline=BASE, n_points=9000, speed=1.1, seed=3)
+pad = lambda a: np.pad(a, ((0, 0), (0, H - H_RAW), (0, W - W_RAW)), mode="edge")
+il, ir = pad(seq["images_l"]), pad(seq["images_r"])
+rig = StereoRig.kitti(fx=FX, fy=FX, cx=W_RAW / 2, cy=H_RAW / 2, baseline=BASE)
+
+kw = dict(n_features=2048, levels=8, scale_factor=1.2, ini_th=20.0, min_th=7.0,
+          cell=32, k_per_cell=8, dedup_radius=0.0)
+
+i = 3
+fl1, fr1 = orb.detect_and_describe_pair(jnp.asarray(il[i]), jnp.asarray(ir[i]), **kw)
+fl2, fr2 = orb.detect_and_describe_pair(jnp.asarray(il[i + 1]), jnp.asarray(ir[i + 1]), **kw)
+
+T_gt = np.linalg.inv(seq["poses_gt"][i + 1]) @ seq["poses_gt"][i]  # cur<-prev
+
+print(f"valid t1L={int(jnp.sum(fl1['valid']))} t1R={int(jnp.sum(fr1['valid']))} "
+      f"t2L={int(jnp.sum(fl2['valid']))}")
+
+for floor, ratio, mutual in [(30, 2.0, False), (50, 2.0, False), (64, 2.0, False),
+                             (80, 2.0, False), (100, 2.0, False),
+                             (64, 2.0, True), (100, 2.0, True), (256, 2.0, True)]:
+    assoc = match.stereo_temporal_match(fl1, fr1, fl2, feature_match_error=2.0,
+                                        dist_floor=float(floor), dist_ratio=ratio,
+                                        use_mutual=mutual)
+    v = np.asarray(assoc["valid"])
+    xy_l = np.asarray(fl1["xy"])
+    xy_r = np.asarray(fr1["xy"][assoc["idx_r"]])
+    xy_c = np.asarray(fl2["xy"][assoc["idx_t2l"]])
+    X, tri_ok = triangulate.stereo_depth_closed_form(rig, jnp.asarray(xy_l),
+                                                     jnp.asarray(xy_r))
+    X = np.asarray(X)
+    ok = v & np.asarray(tri_ok) & (X[:, 2] > 0.5) & (X[:, 2] < 200)
+    Xc = X[ok] @ T_gt[:3, :3].T + T_gt[:3, 3]
+    uv = np.stack([FX * Xc[:, 0] / Xc[:, 2] + W_RAW / 2,
+                   FX * Xc[:, 1] / Xc[:, 2] + H_RAW / 2], -1)
+    err = np.linalg.norm(uv - xy_c[ok], axis=-1)
+    n = ok.sum()
+    for thr in (2.0,):
+        print(f"floor={floor:4d} mutual={int(mutual)} tracked={n:5d} "
+              f"true@{thr}px={(err < thr).mean() if n else 0:.3f} "
+              f"median_err={np.median(err) if n else -1:.2f}")

@@ -5,7 +5,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 import jax
 import jax.numpy as jnp
-import cv2
 
 from stereo_visual_odometry_tpu.models import frontend
 from stereo_visual_odometry_tpu.ops.camera import Pinhole, StereoRig

@@ -173,6 +173,10 @@ def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
     WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv, precision=_HI)
     S_blocks = -jnp.einsum("klac,jlbc->kjab", WHinv, W, precision=_HI)  # (K, K, 6, 6)
     S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp_d)
+    if "Hpp_cross" in eqs:
+        # Dense pose-pose information from a marginalization prior
+        # (models/marg.py); its gradient already sits in bp.
+        S_blocks = S_blocks + eqs["Hpp_cross"]
     b_schur = eqs["bp"] - jnp.einsum("klac,lc->ka", WHinv, bl, precision=_HI)
 
     S = S_blocks.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
@@ -199,13 +203,26 @@ def _apply(poses, points, dx_pose, dx_point):
 
 def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
              n_iters, n_fixed, huber_px, init_damping, robust="huber",
-             obs_right=None, T_rl=None):
+             obs_right=None, T_rl=None, reduce_tree=None, prior=None):
+    """One LM phase. ``reduce_tree`` (optional) reduces the assembled
+    normal-equation pytree across observation shards — identity on one
+    chip, a per-leaf ``psum`` in the distributed deployment
+    (``parallel/dist_ba.py``); the solver itself is shard-agnostic.
+    ``prior`` (optional) is a marginalization prior dict (``models/marg.py``)
+    added to the reduced equations."""
     n_kf, n_lm = poses.shape[0], points.shape[0]
 
     def eqs_of(p, x):
-        return assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
-                                   huber_px, n_kf, n_lm, robust=robust,
-                                   obs_right=obs_right, T_rl=T_rl)
+        e = assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
+                                huber_px, n_kf, n_lm, robust=robust,
+                                obs_right=obs_right, T_rl=T_rl)
+        if reduce_tree is not None:
+            e = reduce_tree(e)
+        if prior is not None:
+            from . import marg
+
+            e = marg.add_prior_to_eqs(e, prior, p)
+        return e
 
     def cost_of(p, x):
         return eqs_of(p, x)["cost"]
@@ -233,28 +250,12 @@ def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
     return poses_f, points_f, lam_f, cost_f, cost0
 
 
-@partial(jax.jit, static_argnames=("n_iters", "n_fixed", "prune_px", "gm_polish"))
-def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
-                  obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
-                  obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
-                  huber_px: float = 2.0, init_damping: float = 1e-3,
-                  prune_px: float | None = None, gm_polish: bool = True,
-                  obs_right: jax.Array | None = None,
-                  T_rl: jax.Array | None = None):
-    """Windowed LM bundle adjustment.
-
-    Args:
-      poses: (K, 4, 4) camera_from_world initial keyframe poses.
-      points: (L, 3) initial landmarks.
-      obs_*: (M,) / (M, 2) observation table (index, pixel, weight).
-      n_fixed: number of leading poses held fixed (gauge / marginalization
-        anchor).
-      prune_px: if set, after the main solve observations with residual
-        above this radius are zero-weighted and a short re-polish runs —
-        explicit outlier pruning between solves, as production BA does.
-
-    Returns dict(poses, points, cost_initial, cost_final, damping, obs_w).
-    """
+def _solve_phases(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
+                  n_iters, n_fixed, huber_px, init_damping, gm_polish,
+                  prune_px, obs_right=None, T_rl=None, reduce_tree=None,
+                  prior=None):
+    """The full solve schedule (GNC phases + optional prune-and-repolish),
+    shared verbatim by the single-chip and distributed deployments."""
     # Graduated non-convexity: Geman-McClure with an annealed scale. The wide
     # scale is near-quadratic (converges from poor initializations); narrowing
     # it drives outlier influence to zero. Huber alone is insufficient — its
@@ -271,7 +272,8 @@ def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
         poses_f, points_f, lam_f, cost_f, c0 = _lm_loop(
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
             iters, n_fixed, huber_px * mult, init_damping, robust=robust,
-            obs_right=obs_right, T_rl=T_rl)
+            obs_right=obs_right, T_rl=T_rl, reduce_tree=reduce_tree,
+            prior=prior)
         if cost0 is None:
             cost0 = c0
 
@@ -280,11 +282,46 @@ def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
         X = points_f[obs_lm]
         r, _, _, z = project_residuals(cam, T, X, obs_uv, obs_right, T_rl)
         rn = jnp.linalg.norm(r, axis=-1)
+        # Per-observation decision — purely local to the shard.
         obs_w = obs_w * ((rn <= prune_px) & (z > 1e-6))
         poses_f, points_f, lam_f, cost_f, _ = _lm_loop(
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
             max(n_iters // 2, 2), n_fixed, huber_px, init_damping,
-            obs_right=obs_right, T_rl=T_rl)
+            obs_right=obs_right, T_rl=T_rl, reduce_tree=reduce_tree,
+            prior=prior)
+
+    return poses_f, points_f, lam_f, cost_f, cost0, obs_w
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_fixed", "prune_px", "gm_polish"))
+def bundle_adjust(cam: Pinhole, poses: jax.Array, points: jax.Array,
+                  obs_kf: jax.Array, obs_lm: jax.Array, obs_uv: jax.Array,
+                  obs_w: jax.Array, n_iters: int = 10, n_fixed: int = 1,
+                  huber_px: float = 2.0, init_damping: float = 1e-3,
+                  prune_px: float | None = None, gm_polish: bool = True,
+                  obs_right: jax.Array | None = None,
+                  T_rl: jax.Array | None = None,
+                  prior: dict | None = None):
+    """Windowed LM bundle adjustment.
+
+    Args:
+      poses: (K, 4, 4) camera_from_world initial keyframe poses.
+      points: (L, 3) initial landmarks.
+      obs_*: (M,) / (M, 2) observation table (index, pixel, weight).
+      n_fixed: number of leading poses held fixed (gauge / marginalization
+        anchor).
+      prune_px: if set, after the main solve observations with residual
+        above this radius are zero-weighted and a short re-polish runs —
+        explicit outlier pruning between solves, as production BA does.
+      prior: optional marginalization prior (``models/marg.py``) carrying
+        the information of keyframes slid out of the window.
+
+    Returns dict(poses, points, cost_initial, cost_final, damping, obs_w).
+    """
+    poses_f, points_f, lam_f, cost_f, cost0, obs_w = _solve_phases(
+        cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w, n_iters, n_fixed,
+        huber_px, init_damping, gm_polish, prune_px, obs_right, T_rl,
+        prior=prior)
 
     return {"poses": poses_f, "points": points_f, "cost_initial": cost0,
             "cost_final": cost_f, "damping": lam_f, "obs_w": obs_w}

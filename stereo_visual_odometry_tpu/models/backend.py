@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import ba
@@ -33,6 +34,9 @@ class BackendConfig:
     ba_iters: int = 8
     huber_px: float = 2.0
     min_track_obs: int = 2     # landmark must be seen in >= 2 keyframes
+    # Schur-marginalize sliding keyframes into a pose prior instead of
+    # dropping their information (models/marg.py; SURVEY §7 step 5).
+    marginalize: bool = True
 
 
 class SlidingWindowBA:
@@ -53,6 +57,10 @@ class SlidingWindowBA:
         self.landmarks: dict[int, np.ndarray] = {}     # track_id -> world xyz
         self.frame_of_kf: list[int] = []
         self._frames_since_kf = 10 ** 9
+        # Marginalization prior over the current window's pose slots
+        # (None until the first slide). Numpy pytree of marg.empty_prior
+        # shape with capacity cfg.window.
+        self.prior: dict | None = None
 
     # ------------------------------------------------------------------ #
 
@@ -92,9 +100,11 @@ class SlidingWindowBA:
             tid = int(tid)
             if tid >= 0 and track_valid[i] and pts3d_valid[i] and tid not in self.landmarks:
                 self.landmarks[tid] = R @ pts3d_cur[i] + t
-        # Slide the window.
+        # Slide the window: marginalize (default) or drop-oldest.
         if len(self.kf_poses) > self.cfg.window:
-            dropped = self.kf_obs.pop(0)
+            if self.cfg.marginalize:
+                self._marginalize_oldest()
+            self.kf_obs.pop(0)
             self.kf_poses.pop(0)
             self.frame_of_kf.pop(0)
             live = set()
@@ -104,6 +114,79 @@ class SlidingWindowBA:
                 if tid not in live:
                     del self.landmarks[tid]
         self._frames_since_kf = 0
+
+    def _marginalize_oldest(self) -> None:
+        """Schur-marginalize keyframe 0 + the landmarks it observes into a
+        pose prior over the surviving window (models/marg.py).
+
+        Consumed: every observation (any keyframe) of a landmark seen by
+        keyframe 0. Those landmarks leave the active map — their information
+        lives on in the prior; still-tracked features re-enter as fresh
+        landmarks at the next keyframe without double counting (the consumed
+        observations are removed here).
+        """
+        from . import marg
+
+        Kp1 = len(self.kf_poses)              # window + 1 at slide time
+        W = self.cfg.window
+        m_tids = [t for t in self.kf_obs[0] if t in self.landmarks]
+        if not m_tids:
+            return
+        m_tids = m_tids[: self.cfg.max_landmarks]
+        tid_to_idx = {t: i for i, t in enumerate(m_tids)}
+
+        L = self.cfg.max_landmarks
+        points = np.zeros((L, 3), np.float32)
+        for t, i in tid_to_idx.items():
+            points[i] = self.landmarks[t]
+        obs_kf = np.zeros(self.cfg.max_obs, np.int32)
+        obs_lm = np.zeros(self.cfg.max_obs, np.int32)
+        obs_uv = np.zeros((self.cfg.max_obs, 2), np.float32)
+        obs_w = np.zeros(self.cfg.max_obs, np.float32)
+        obs_right = np.zeros(self.cfg.max_obs, bool)
+        m = 0
+        for k, o in enumerate(self.kf_obs):
+            for tid in list(o):
+                i = tid_to_idx.get(tid)
+                if i is None:
+                    continue
+                uv, uv_r = o[tid]
+                if m < self.cfg.max_obs:
+                    obs_kf[m], obs_lm[m], obs_uv[m], obs_w[m] = k, i, uv, 1.0
+                    m += 1
+                if uv_r is not None and m < self.cfg.max_obs:
+                    obs_kf[m], obs_lm[m], obs_uv[m] = k, i, uv_r
+                    obs_right[m], obs_w[m] = True, 1.0
+                    m += 1
+                if k > 0:
+                    del o[tid]  # consumed (kf 0's own dict is popped anyway)
+
+        poses_cw = np.stack([np.linalg.inv(T) for T in self.kf_poses]
+                            ).astype(np.float32)           # (W+1, 4, 4)
+        carry_H = carry_b = None
+        if self.prior is not None:
+            # Re-express the existing prior (slots 0..W-1 of the pre-slide
+            # window) at the current poses, embedded into (W+1)-slot arrays.
+            H_s, b_s = marg.shift_prior(
+                jax.tree_util.tree_map(jnp.asarray, self.prior),
+                jnp.asarray(poses_cw[:W]))
+            carry_H = jnp.zeros((Kp1, Kp1, 6, 6), jnp.float32
+                                ).at[:W, :W].set(H_s)
+            carry_b = jnp.zeros((Kp1, 6), jnp.float32).at[:W].set(b_s)
+
+        prior = marg.build_prior(
+            self.cam, jnp.asarray(poses_cw), jnp.asarray(points),
+            jnp.asarray(obs_kf), jnp.asarray(obs_lm), jnp.asarray(obs_uv),
+            jnp.asarray(obs_w), jnp.asarray(self.cfg.huber_px, jnp.float32),
+            obs_right=jnp.asarray(obs_right),
+            T_rl=jnp.asarray(self.T_rl, jnp.float32),
+            carry_H=carry_H, carry_b=carry_b)
+        # Truncate (W+1)-slot output to the W-slot post-slide window.
+        self.prior = {k: np.asarray(v)[:W] if k != "H"
+                      else np.asarray(v)[:W, :W]
+                      for k, v in prior.items()}
+        for t in m_tids:
+            del self.landmarks[t]
 
     def tick(self) -> None:
         self._frames_since_kf += 1

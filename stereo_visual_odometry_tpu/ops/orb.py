@@ -15,11 +15,15 @@ Design differences, chosen for the hardware (SURVEY.md §7):
 * The quadtree becomes ``select.grid_top_k`` (per-cell top-k + global
   top-K): the same spatial-uniformity-under-budget contract, expressed as
   dense reshapes.
-* The BRIEF sampling pattern is a deterministic seeded Gaussian pattern
-  (sigma = patch/5, radius-clamped) rather than OpenCV's learned table —
-  descriptors only ever match against descriptors from this same extractor,
-  so the pattern is an internal convention; a learned table is a drop-in
-  constant swap.
+* The BRIEF sampling pattern is the published learned 256-pair table
+  (``ops/orb_pattern.py``; the constant the reference embeds at
+  ``ORBextractor.cpp:99-357``) — measurably more discriminative than a
+  random Gaussian pattern (see ``scripts/probe_pattern_ab.py``). A seeded
+  Gaussian fallback remains available for A/B via ``set_pattern``.
+* Descriptor sampling reads a 39x39 patch (``DESC_PATCH``): learned points
+  reach radius 18.4 under rotation, beyond the 31x31 IC-angle patch; the
+  reference avoids clamping by sampling the full image inside its EDGE=19
+  border — a larger patch is the batched equivalent.
 * Descriptors are packed 256 bits -> 8 x uint32 for the popcount matcher.
 
 Everything is fixed-shape: each level contributes exactly its budgeted
@@ -34,21 +38,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import fast, interp, pyramid, select
+from . import fast, interp, orb_pattern, pyramid, select
 
 PATCH = 31
 HALF_PATCH = 15
+DESC_PATCH = 39  # descriptor sampling patch (covers learned-pattern radius
+                 # 18.4 under rotation + bilinear support)
 EDGE = 19  # keep-out border for description (``ORBextractor.cpp:19``)
 N_BITS = 256
 N_WORDS = N_BITS // 32
 
 
 def _make_pattern(seed: int = 1234) -> np.ndarray:
-    """Deterministic BRIEF pattern: (256, 2, 2) int offsets (pairs of (x, y)).
+    """Seeded-Gaussian BRIEF pattern: (256, 2, 2) offsets (pairs of (x, y)).
 
     Gaussian sigma = PATCH/5 (the BRIEF paper's choice), clamped to radius 13
-    so rotated samples stay inside the blurred patch.
-    """
+    so rotated samples stay inside the blurred patch. Kept for A/B against
+    the learned table (``set_pattern``)."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, PATCH / 5.0, size=(N_BITS, 2, 2))
     r = 13.0
@@ -60,7 +66,19 @@ def _make_pattern(seed: int = 1234) -> np.ndarray:
 # numpy, not jnp: module-level jnp constants are device ops at import time,
 # forcing backend init before the caller can pick a platform. As numpy they
 # are embedded as compile-time constants when first used under jit.
-BRIEF_PATTERN = _make_pattern()  # (256, 2, 2) [pair, point, (x, y)]
+# Default = the published learned table (ops/orb_pattern.py).
+BRIEF_PATTERN = orb_pattern.pattern_pairs()  # (256, 2, 2) [pair, pt, (x, y)]
+
+
+def set_pattern(kind: str = "learned") -> None:
+    """Select the BRIEF pattern ('learned' | 'gaussian') — A/B hook.
+
+    Invalidates the cached bin weights; callers must also clear jit caches
+    (``jax.clear_caches()``) since traced programs embed the weights."""
+    global BRIEF_PATTERN, _BIN_DIFF_NP
+    BRIEF_PATTERN = (orb_pattern.pattern_pairs() if kind == "learned"
+                     else _make_pattern())
+    _BIN_DIFF_NP = None
 
 # Circular-patch mask and coordinate grids for IC_Angle (radius HALF_PATCH),
 # equivalent to the umax row-extent table of ``ORBextractor.cpp:400-417``.
@@ -88,6 +106,12 @@ def ic_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
     return ic_angle_from_patches(patch_pallas.extract_patches(img, xy, PATCH))
 
 
+def _ic_crop(patches: jax.Array) -> jax.Array:
+    """Central (31, 31) view of (N, DESC_PATCH, DESC_PATCH) patches."""
+    off = (DESC_PATCH - PATCH) // 2
+    return patches[:, off:off + PATCH, off:off + PATCH]
+
+
 # --- Binned-rotation BRIEF as one-hot matmuls (MXU-friendly) -------------- #
 #
 # The reference rotates the sampling pattern continuously per keypoint and
@@ -103,18 +127,20 @@ N_ANGLE_BINS = 32
 
 
 def _make_bin_weights() -> np.ndarray:
-    """(B, 512, PATCH*PATCH) bilinear sampling matrices, one per angle bin."""
+    """(B, 512, DESC_PATCH*DESC_PATCH) bilinear sampling matrices per bin."""
     pts = np.asarray(BRIEF_PATTERN).reshape(N_BITS * 2, 2)  # (512, [x, y])
-    r = (PATCH - 1) // 2
-    out = np.zeros((N_ANGLE_BINS, N_BITS * 2, PATCH * PATCH), np.float32)
+    P = DESC_PATCH
+    r = (P - 1) // 2
+    out = np.zeros((N_ANGLE_BINS, N_BITS * 2, P * P), np.float32)
     for b in range(N_ANGLE_BINS):
         th = 2 * np.pi * b / N_ANGLE_BINS
         c, s = np.cos(th), np.sin(th)
         rx = c * pts[:, 0] - s * pts[:, 1]
         ry = s * pts[:, 0] + c * pts[:, 1]
-        # Clamp rotated samples inside the patch and spread bilinearly.
-        x = np.clip(rx + r, 0, PATCH - 1 - 1e-4)
-        y = np.clip(ry + r, 0, PATCH - 1 - 1e-4)
+        # Clamp rotated samples inside the patch and spread bilinearly
+        # (DESC_PATCH is sized so nothing actually clamps).
+        x = np.clip(rx + r, 0, P - 1 - 1e-4)
+        y = np.clip(ry + r, 0, P - 1 - 1e-4)
         x0 = np.floor(x).astype(int)
         y0 = np.floor(y).astype(int)
         fx = x - x0
@@ -124,7 +150,7 @@ def _make_bin_weights() -> np.ndarray:
                                 (0, 1, (1 - fy[k]) * fx[k]),
                                 (1, 0, fy[k] * (1 - fx[k])),
                                 (1, 1, fy[k] * fx[k])):
-                out[b, k, (y0[k] + dy) * PATCH + (x0[k] + dx)] += w
+                out[b, k, (y0[k] + dy) * P + (x0[k] + dx)] += w
     return out
 
 
@@ -132,7 +158,7 @@ _BIN_DIFF_NP = None
 
 
 def _bin_diff_weights() -> jax.Array:
-    """(B, 256, 961) pair-DIFFERENCE sampling matrices, lazily built (the
+    """(B, 256, DESC_PATCH^2) pair-DIFFERENCE sampling matrices, lazily built (the
     array must not tax LK-only runs at import time; the cache holds numpy —
     caching a jnp array here would leak a tracer when first touched inside a
     jit trace).
@@ -144,15 +170,18 @@ def _bin_diff_weights() -> jax.Array:
     rounding instead of two before the comparison."""
     global _BIN_DIFF_NP
     if _BIN_DIFF_NP is None:
-        w = _make_bin_weights()  # (B, 512, 961)
-        _BIN_DIFF_NP = w[:, 1::2, :] - w[:, 0::2, :]  # (B, 256, 961)
+        w = _make_bin_weights()  # (B, 512, P*P)
+        _BIN_DIFF_NP = w[:, 1::2, :] - w[:, 0::2, :]  # (B, 256, P*P)
     return jnp.asarray(_BIN_DIFF_NP)
 
 
 def brief_bits_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
-    """(N, 31, 31) blurred patches + (N,) angles -> (N, 256) 0/1 bits."""
+    """(N, DESC_PATCH, DESC_PATCH) blurred patches + (N,) angles -> (N, 256) bits.
+
+    Bit k = (sample at pair point 0 < sample at point 1), matching
+    ``computeOrbDescriptor``'s ``t0 < t1`` (``ORBextractor.cpp:91-95``)."""
     n = patches_blur.shape[0]
-    flat = patches_blur.reshape(n, PATCH * PATCH)
+    flat = patches_blur.reshape(n, DESC_PATCH * DESC_PATCH)
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS)
     bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
@@ -179,7 +208,7 @@ def pack_bits(bits: jax.Array) -> jax.Array:
 
 
 def brief_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Array:
-    """(N, 31, 31) blurred patches + (N,) angles -> (N, 8) packed uint32."""
+    """(N, DESC_PATCH, DESC_PATCH) blurred patches + (N,) angles -> (N, 8) uint32."""
     return pack_bits(brief_bits_from_patches(patches_blur, angle))
 
 
@@ -193,7 +222,7 @@ def brief_descriptors(img_blur: jax.Array, xy: jax.Array, angle: jax.Array) -> j
     """
     from . import patch_pallas
 
-    patches = patch_pallas.extract_patches(img_blur, xy, PATCH)
+    patches = patch_pallas.extract_patches(img_blur, xy, DESC_PATCH)
     return brief_from_patches(patches, angle)
 
 
@@ -216,7 +245,7 @@ def _level_budgets(n_features: int, levels: int, scale_factor: float) -> list[in
 def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
                         scale_factor: float = 1.2, ini_th: float = 20.0,
                         min_th: float = 7.0, cell: int = 32, k_per_cell: int = 8,
-                        dedup_radius: float = 3.0):
+                        dedup_radius: float = 0.0):
     """Full ORB extraction on one image.
 
     Operating point matches the reference defaults: 2000 features, 8 levels,
@@ -269,8 +298,8 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
         from . import patch_pallas
 
         blur = pyramid.gaussian_blur(level_img)  # 7x7 sigma 2 (:1033-1035)
-        patches = patch_pallas.extract_patches(blur, xy, PATCH)
-        ang = ic_angle_from_patches(patches)
+        patches = patch_pallas.extract_patches(blur, xy, DESC_PATCH)
+        ang = ic_angle_from_patches(_ic_crop(patches))
         desc = brief_from_patches(patches, ang)
 
         lvl_scale = scale_factor ** lvl
@@ -300,7 +329,7 @@ def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
                              n_features: int = 2000, levels: int = 8,
                              scale_factor: float = 1.2, ini_th: float = 20.0,
                              min_th: float = 7.0, cell: int = 32,
-                             k_per_cell: int = 8, dedup_radius: float = 3.0):
+                             k_per_cell: int = 8, dedup_radius: float = 0.0):
     """ORB extraction on a stereo pair in ONE fused pass.
 
     Same per-image semantics as ``detect_and_describe``, but the dense
@@ -357,9 +386,9 @@ def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
         # position by ~1e-5 px, flipping near-zero BRIEF bits); ONE angle +
         # BRIEF contraction for both images' patches.
         patches = jnp.concatenate(
-            [patch_pallas.extract_patches(blur[0], xy2[0], PATCH),
-             patch_pallas.extract_patches(blur[1], xy2[1], PATCH)], axis=0)
-        ang = ic_angle_from_patches(patches)
+            [patch_pallas.extract_patches(blur[0], xy2[0], DESC_PATCH),
+             patch_pallas.extract_patches(blur[1], xy2[1], DESC_PATCH)], axis=0)
+        ang = ic_angle_from_patches(_ic_crop(patches))
         desc = brief_from_patches(patches, ang)
 
         lvl_scale = scale_factor ** lvl

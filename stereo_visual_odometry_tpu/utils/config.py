@@ -87,6 +87,9 @@ def load_reference_yaml(path: str) -> RunConfig:
     """
     kv = _parse_opencv_yaml(path)
     g = kv.get
+    # YAML-absent fallbacks come from VOConfig's own field defaults so the
+    # two can't drift apart on a retune (ADVICE r3).
+    vo_default = {f.name: f.default for f in dataclasses.fields(VOConfig)}
 
     cam = CameraConfig(
         fx=g("camera1.fx", 718.856), fy=g("camera1.fy", 718.856),
@@ -112,7 +115,7 @@ def load_reference_yaml(path: str) -> RunConfig:
         inlier_px=float(g("reprojectionError", 2.0)),
         min_features_detect=int(g("num_features_init", 30)),
         min_features_track=int(g("num_features_tracking", 10)),
-        min_inlier_rate=float(g("inlier_rate", 0.05)),
+        min_inlier_rate=float(g("inlier_rate", vo_default["min_inlier_rate"])),
         min_move=float(g("minmove", 0.0005)),
         max_move=float(g("maxmove", 10.0)),
     )
