@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--out", default="", help="trajectory output (KITTI format)")
     ap.add_argument("--gt", default="", help="ground-truth poses for ATE/RPE")
     ap.add_argument("--plot", default="", help="trajectory plot output path")
+    ap.add_argument("--dump-overlays", default="", metavar="DIR",
+                    help="write per-frame association overlays (the "
+                         "displayTracking window, offline) into DIR")
+    ap.add_argument("--every", type=int, default=10,
+                    help="overlay stride (with --dump-overlays)")
     args = ap.parse_args(argv)
 
     from .utils.config import RunConfig, load_reference_yaml
@@ -42,7 +47,9 @@ def main(argv=None):
     if args.mode:
         cfg = dataclasses.replace(cfg, vo=dataclasses.replace(cfg.vo, mode=args.mode))
     cfg = dataclasses.replace(cfg, max_frames=args.max_frames,
-                              trajectory_out=args.out)
+                              trajectory_out=args.out,
+                              overlay_dir=args.dump_overlays,
+                              overlay_every=args.every)
 
     if not cfg.dataset_dir:
         ap.error("no dataset: pass --dataset or set dataset_dir in the YAML")

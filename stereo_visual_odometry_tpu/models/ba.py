@@ -198,7 +198,9 @@ def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
 
 
 def _apply(poses, points, dx_pose, dx_point):
-    return jax.vmap(lambda x, T: se3.se3_exp(x) @ T)(dx_pose, poses), points + dx_point
+    return jax.vmap(lambda x, T: jnp.matmul(
+        se3.se3_exp(x), T, precision=jax.lax.Precision.HIGHEST))(
+        dx_pose, poses), points + dx_point
 
 
 def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,

@@ -96,7 +96,10 @@ class VOConfig:
     replenish_min_dist: float = 8.0   # px spacing for new detections
     # LK backend: "auto" = Pallas kernel on TPU, XLA formulation on CPU.
     lk_backend: str = "auto"          # 'auto' | 'pallas' | 'xla'
-    lk_kernel: str = "cell"           # 'cell' | 'v1' Pallas variant
+    # 'dense': Pallas window reads + batched-XLA iteration (ops/lk_dense.py,
+    # measured ~3.5x the cell kernel per leg on v5e — the shipping default);
+    # 'cell': per-point scalar cell kernel; 'v1': per-iteration reload kernel.
+    lk_kernel: str = "dense"
     # Predictive LK initialization (TPU-first: kernel cost scales with
     # pixel-cell crossings, so legs start from a disparity prior + the
     # constant-velocity motion model instead of zero flow).
@@ -109,6 +112,11 @@ class VOConfig:
     lk_sweep_d_max: int = 48
     lk_stereo_levels: int = 1
     lk_temporal_levels: int = 2
+    # Dense-backend reload rounds (ops/lk_dense.py): per-leg window-reload
+    # budget — prior-guided coarsest / unassisted coarsest / refine levels.
+    lk_rounds_prior: int = 4
+    lk_rounds_coarse: int = 8
+    lk_rounds_refine: int = 2
 
 
 # Tracking status values (``tracking.h:22-27``).
@@ -172,6 +180,14 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         if cfg.lk_predictive and not cfg.lk_sweep:
             # No prior yet: a mid-range constant (fx*B / ~15 m on KITTI).
             state["disp_grid"] = jnp.full((gh, gw), 24.0, jnp.float32)
+        if cfg.lk_predictive and cfg.lk_sweep:
+            # Frame-0 disparity map: next step's t1-pair sweep (the step
+            # only sweeps its t2 pair and carries the map forward).
+            from ..ops import stereo_sweep
+
+            L = min(2, cfg.pyr_levels - 1)
+            state["dmap"] = stereo_sweep.disparity_sweep(
+                pl[L], pr[L], d_max=cfg.lk_sweep_d_max)
         if cfg.persistent_tracks:
             k = cfg.max_features
             ids = jnp.where(valid, jnp.arange(k, dtype=jnp.int32), -1)
@@ -190,13 +206,16 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
 
         # 4-way circular LK: t1L -> t1R -> t2R -> t2L (tracking.cpp:583-622),
         # initialized from the disparity prior + constant-velocity model.
-        pred_kw = {}
+        pred_kw = dict(rounds_prior=cfg.lk_rounds_prior,
+                       rounds_coarse=cfg.lk_rounds_coarse,
+                       rounds_refine=cfg.lk_rounds_refine)
         if cfg.lk_predictive:
-            pred_kw = dict(rig=rig, T_pred=state["T_21_prev"])
+            pred_kw.update(rig=rig, T_pred=state["T_21_prev"])
             if cfg.lk_sweep:
                 pred_kw.update(use_sweep=True, sweep_d_max=cfg.lk_sweep_d_max,
                                stereo_levels=cfg.lk_stereo_levels,
-                               temporal_levels=cfg.lk_temporal_levels)
+                               temporal_levels=cfg.lk_temporal_levels,
+                               dmap_prev=state["dmap"])
             else:
                 pred_kw.update(disp_prior=lk.sample_disparity(
                     state["disp_grid"], state["kp"], cfg.disp_cell))
@@ -233,7 +252,8 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         accept = gate_track & res["ok"] & gate_inlier & gate_move & gate_rot
 
         # Pose composition: frame_pose_ *= T^{-1} (tracking.cpp:313-318).
-        T_wc_new = state["T_wc"] @ se3.se3_inv(T_21)
+        T_wc_new = jnp.matmul(state["T_wc"], se3.se3_inv(T_21),
+                              precision=jax.lax.Precision.HIGHEST)
         T_wc = jnp.where(accept, T_wc_new, state["T_wc"])
 
         # Fresh detection on the current left image (tracking.cpp:260).
@@ -250,6 +270,8 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
             "T_wc": T_wc, "T_21_prev": T_21_prev,
             "key": key, "status": status, "n_detected": n_det,
         }
+        if cfg.lk_predictive and cfg.lk_sweep:
+            new_state["dmap"] = quad["dmap"]
         if cfg.lk_predictive and not cfg.lk_sweep:
             # Refresh the prior from this frame's tracked stereo pairs.
             new_state["disp_grid"] = lk.disparity_grid(
@@ -390,7 +412,11 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
                   (t_norm > cfg.min_move) & (t_norm < cfg.max_move) &
                   jnp.all(eulers < cfg.max_euler))
 
-        T_wc = jnp.where(accept, state["T_wc"] @ se3.se3_inv(T_21), state["T_wc"])
+        T_wc = jnp.where(
+            accept,
+            jnp.matmul(state["T_wc"], se3.se3_inv(T_21),
+                       precision=jax.lax.Precision.HIGHEST),
+            state["T_wc"])
         n_det = jnp.sum(fl_cur["valid"])
         status = jnp.where(n_det >= cfg.min_features_detect,
                            TRACKING_GOOD, LOST).astype(jnp.int32)

@@ -49,7 +49,8 @@ def empty_prior(window: int, dtype=jnp.float32) -> dict:
 
 def prior_deltas(prior: dict, poses: jax.Array) -> jax.Array:
     """(K, 6) left-mult twists of current poses wrt linearization points."""
-    d = jax.vmap(lambda T, T0: se3.se3_log(T @ se3.se3_inv(T0)))(
+    d = jax.vmap(lambda T, T0: se3.se3_log(jnp.matmul(
+        T, se3.se3_inv(T0), precision=jax.lax.Precision.HIGHEST)))(
         poses, prior["T_lin"])
     return d * prior["mask"][:, None]
 
@@ -133,7 +134,8 @@ def build_prior(cam: Pinhole, poses: jax.Array, points: jax.Array,
     B = S_flat[:6, 6:]                       # (6, 6(K-1))
     Ainv_B = jnp.linalg.solve(A, B)
     H_red = S_flat[6:, 6:] - B.T @ Ainv_B    # (6(K-1), 6(K-1))
-    g_red = g_flat[6:] - Ainv_B.T @ g_flat[:6]
+    g_red = g_flat[6:] - jnp.matmul(Ainv_B.T, g_flat[:6],
+                                    precision=jax.lax.Precision.HIGHEST)
     # Symmetrize (solve + float roundoff).
     H_red = 0.5 * (H_red + H_red.T)
 

@@ -78,7 +78,9 @@ class System:
             self.state, metrics = self.step_fn(self.state, il, ir)
             jax.block_until_ready(self.state["T_wc"])
             self.status = int(self.state["status"])
-            m = {k: np.asarray(v) for k, v in metrics.items()}
+            from ..utils.hostcopy import device_get_tree
+
+            m = device_get_tree(metrics)
             m["accept"] = bool(metrics["accept"])
             m["init"] = False
             # LOST handling: the reference stubs this out; we reinitialize
@@ -95,6 +97,12 @@ class System:
                     self.lost_count = 0
             else:
                 self.lost_count = 0
+
+        # Association overlay dump (the reference's displayTracking window,
+        # tracking.cpp:354-382, rendered offline instead of imshow'd).
+        if (self.config.overlay_dir and not m.get("init")
+                and self.frame_idx % max(self.config.overlay_every, 1) == 0):
+            self._dump_overlay(img_l, m)
 
         # Sliding-window BA backend (config 3): keyframe + local refine.
         if self.backend is not None and not m.get("init"):
@@ -124,6 +132,20 @@ class System:
 
     step_online = step  # ``Step_ros`` equivalent: externally-fed frames.
 
+    def _dump_overlay(self, img_l: np.ndarray, m: dict) -> None:
+        """Write the per-frame association overlay PNG for this frame."""
+        import os
+
+        from ..utils.viz import draw_tracks
+
+        os.makedirs(self.config.overlay_dir, exist_ok=True)
+        path = os.path.join(self.config.overlay_dir,
+                            f"tracks_{self.frame_idx:06d}.png")
+        draw_tracks(path, np.asarray(img_l),
+                    np.asarray(m["tracked_prev"]),
+                    np.asarray(m["tracked_cur"]),
+                    np.asarray(m["tracked_valid"]))
+
     # ------------------------------------------------------------------ #
 
     def run(self, frames: Iterable[tuple[np.ndarray, np.ndarray]],
@@ -152,6 +174,13 @@ class System:
         """Offline-throughput loop: scan the step over frame chunks on device
         (one dispatch per ``chunk`` frames). Not compatible with the BA
         backend (which needs per-frame host bookkeeping) — use ``run`` there.
+
+        Keeps the product semantics of ``run``: per-frame metric dicts land
+        in ``self.metrics`` (accept, n_tracked, inlier_ratio, ...; timing is
+        the chunk wall-clock split evenly across its frames), and the
+        LOST->reinit recovery runs at chunk granularity — if the trailing
+        frames of a chunk are feature-starved, the next chunk starts from a
+        fresh detection (pose preserved), exactly like ``step``'s recovery.
         """
         assert self.backend is None, "chunked mode is frontend-only"
         init_fn, chunk_fn = frontend_mod.make_chunked_frontend(self.vo_cfg, self.rig)
@@ -168,15 +197,56 @@ class System:
                 self.key, sub = jax.random.split(self.key)
                 self.state = init_fn(il[0], ir[0], sub)
                 self.poses.append(np.asarray(self.state["T_wc"], np.float64))
+                self.metrics.append({"accept": False, "init": True,
+                                     "n_detected": int(self.state["n_detected"]),
+                                     "time_s": 0.0})
+                self.frame_times.append(0.0)
                 il, ir = il[1:], ir[1:]
                 if il.shape[0] == 0:
                     buf_l.clear(); buf_r.clear()
                     return
+            t0 = time.perf_counter()
             self.state, m = chunk_fn(self.state, il, ir)
             jax.block_until_ready(self.state["T_wc"])
-            for T in np.asarray(m["T_wc"], np.float64):
-                self.poses.append(T)
+            dt = time.perf_counter() - t0
+            from ..utils.hostcopy import device_get_tree
+
+            m = device_get_tree(m)
+            n = len(m["T_wc"])
+            per_frame = dt / max(n, 1)
+            statuses = np.where(
+                m["n_detected"] >= self.vo_cfg.min_features_detect,
+                frontend_mod.TRACKING_GOOD, frontend_mod.LOST)
+            for t in range(n):
+                self.poses.append(np.asarray(m["T_wc"][t], np.float64))
+                self.metrics.append({
+                    "accept": bool(m["accept"][t]), "init": False,
+                    "n_tracked": int(m["n_tracked"][t]),
+                    "n_detected": int(m["n_detected"][t]),
+                    "n_inliers": int(m["n_inliers"][t]),
+                    "inlier_ratio": float(m["inlier_ratio"][t]),
+                    "t_norm": float(m["t_norm"][t]),
+                    "T_21": np.asarray(m["T_21"][t], np.float64),
+                    "time_s": per_frame,
+                })
+                self.frame_times.append(per_frame)
+                if statuses[t] == frontend_mod.LOST:
+                    self.lost_count += 1
+                else:
+                    self.lost_count = 0
             self.status = int(self.state["status"])
+            # LOST recovery at chunk granularity (``step``'s reinit policy):
+            # reinitialize from the last frame, preserving the pose chain.
+            if self.lost_count >= self.max_lost_before_reinit:
+                self.log.warning(
+                    "tracking lost %d frames; reinitializing (chunked)",
+                    self.lost_count)
+                T_wc = np.asarray(self.state["T_wc"])
+                self.key, sub = jax.random.split(self.key)
+                self.state = init_fn(il[-1], ir[-1], sub)
+                self.state["T_wc"] = jnp.asarray(T_wc)
+                self.status = int(self.state["status"])
+                self.lost_count = 0
             buf_l.clear(); buf_r.clear()
 
         for i, (il, ir) in enumerate(frames):
@@ -187,9 +257,7 @@ class System:
             if len(buf_l) == chunk + (1 if self.state is None else 0):
                 flush()
         flush()
-        # One timing entry for the whole run keeps `fps` meaningful.
-        total = time.perf_counter() - t_start
-        self.frame_times.extend([total / max(len(self.poses), 1)] * len(self.poses))
+        self.frame_idx = len(self.poses)
         traj = np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
         if self.config.trajectory_out:
             traj_mod.save_kitti(self.config.trajectory_out, traj)

@@ -113,7 +113,10 @@ class StereoRig:
         """3x4 projection of the right camera: ``[K2 R | K2 t]`` (``parameter.cpp:44-45``)."""
         K = self.right.K
         R, t = se3.to_Rt(self.T_rl)
-        return jnp.concatenate([K @ R, (K @ t)[:, None]], axis=1)
+        hi = jax.lax.Precision.HIGHEST
+        return jnp.concatenate([jnp.matmul(K, R, precision=hi),
+                                jnp.matmul(K, t, precision=hi)[:, None]],
+                               axis=1)
 
 
 def world2camera(T_cw: jax.Array, pts_w: jax.Array) -> jax.Array:

@@ -172,13 +172,15 @@ def use_pallas_default() -> bool:
 
 @partial(jax.jit, static_argnames=("win", "levels", "iters", "eps",
                                    "eps_coarse", "min_eig",
-                                   "use_pallas", "pallas_kernel"))
+                                   "use_pallas", "pallas_kernel",
+                                   "rounds_coarse", "rounds_refine"))
 def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
           win: int = 21, levels: int = 3, iters: int = 30, eps: float = 0.01,
           eps_coarse: float = 0.03,
           min_eig: float = 1e-4, use_pallas: bool = False,
           pallas_kernel: str = "cell", init_flow: jax.Array | None = None,
           active: jax.Array | None = None,
+          rounds_coarse: int = 8, rounds_refine: int = 2,
           ) -> tuple[jax.Array, jax.Array]:
     """Track N points from prev to next through a factor-2 pyramid.
 
@@ -250,6 +252,17 @@ def track(pyr_prev: tuple, pyr_next: tuple, pts: jax.Array,
                 from . import lk_pallas_cell
 
                 level_fn = lk_pallas_cell.level_track_pallas_cell
+            elif pallas_kernel == "dense":
+                from . import lk_dense
+
+                # Reload rounds: the coarsest level absorbs the large
+                # residual motion (more pixel-cell crossings); refine levels
+                # start within ~a cell of the answer. Dense-backend cost is
+                # FIXED per round (window extract + 8 dots for all N), so
+                # fewer rounds on refine levels is a direct saving.
+                rnds = (rounds_coarse if lvl == n_levels - 1
+                        else rounds_refine)
+                level_fn = partial(lk_dense.level_track_dense, rounds=rnds)
             else:
                 level_fn = lk_pallas.level_track_pallas
             flow, ok = level_fn(
@@ -321,7 +334,10 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
                    use_sweep: bool = False, sweep_d_max: int = 48,
                    stereo_levels: int | None = None,
                    temporal_levels: int | None = None,
-                   max_disp: float = 192.0, max_guess: float = 160.0):
+                   max_disp: float = 192.0, max_guess: float = 160.0,
+                   dmap_prev: jax.Array | None = None,
+                   rounds_prior: int = 4, rounds_coarse: int = 8,
+                   rounds_refine: int = 2):
     """4-way circular LK: t1L -> t1R -> t2R -> t2L -> t1L.
 
     The reference's loop-consistency matching
@@ -353,7 +369,12 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
     """
     pyr_t1l, pyr_t1r, pyr_t2r, pyr_t2l = pyrs
     kw = dict(win=win, iters=iters, eps=eps, eps_coarse=eps_coarse,
-              use_pallas=use_pallas, pallas_kernel=pallas_kernel)
+              use_pallas=use_pallas, pallas_kernel=pallas_kernel,
+              rounds_coarse=rounds_coarse, rounds_refine=rounds_refine)
+    # Dense-backend reload budget: a leg with a predictive prior starts
+    # within a couple of pixels, so fewer rounds cover its cell crossings;
+    # an unassisted leg keeps the deep coarse budget.
+    kw_prior = dict(kw, rounds_coarse=rounds_prior)
     lv_st = levels if stereo_levels is None else stereo_levels
     lv_tm = levels if temporal_levels is None else temporal_levels
     clipg = lambda g: jnp.clip(g, -max_guess, max_guess)
@@ -364,8 +385,12 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
 
         L = min(2, len(pyr_t1l) - 1)
         scale = 2.0 ** L
-        dmap1 = stereo_sweep.disparity_sweep(pyr_t1l[L], pyr_t1r[L],
-                                             d_max=sweep_d_max)
+        # Frame t's t1-pair IS frame t-1's t2-pair: the step loop passes the
+        # previous frame's dmap2 back in as ``dmap_prev``, saving one sweep
+        # per frame (the sweep is recomputed only on the first frame).
+        dmap1 = (dmap_prev if dmap_prev is not None else
+                 stereo_sweep.disparity_sweep(pyr_t1l[L], pyr_t1r[L],
+                                              d_max=sweep_d_max))
         d0 = jnp.clip(stereo_sweep.sample_map(dmap1, pts_t1l, scale),
                       0.0, max_disp)
         g1 = jnp.stack([-d0, jnp.zeros_like(d0)], axis=-1)
@@ -374,7 +399,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
         g1 = jnp.stack([-d0, jnp.zeros_like(d0)], axis=-1)
     p_t1r, ok1 = track(pyr_t1l, pyr_t1r, pts_t1l, init_flow=g1,
                        active=valid, levels=lv_st if g1 is not None else levels,
-                       **kw)
+                       **(kw_prior if g1 is not None else kw))
     ok1 = ok1 & valid
 
     g2 = g3 = g4 = None
@@ -392,7 +417,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
         g2 = clipg(p2r_pred - p_t1r)
     p_t2r, ok2 = track(pyr_t1r, pyr_t2r, p_t1r, init_flow=g2,
                        active=ok1, levels=lv_tm if g2 is not None else levels,
-                       **kw)
+                       **(kw_prior if g2 is not None else kw))
     ok2 = ok2 & ok1
 
     if use_sweep:
@@ -407,7 +432,7 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
         g3 = clipg(p2l_pred - p_t2r)
     p_t2l, ok3 = track(pyr_t2r, pyr_t2l, p_t2r, init_flow=g3,
                        active=ok2, levels=lv_st if g3 is not None else levels,
-                       **kw)
+                       **(kw_prior if g3 is not None else kw))
     ok3 = ok3 & ok2
 
     if g2 is not None:
@@ -421,13 +446,16 @@ def circular_track(pyrs: tuple, pts_t1l: jax.Array, valid: jax.Array,
         g4 = clipg(pts_t1l - p2l_pred)
     p_t1l_back, ok4 = track(pyr_t2l, pyr_t1l, p_t2l, init_flow=g4,
                             active=ok3, levels=lv_tm if g4 is not None else levels,
-                            **kw)
+                            **(kw_prior if g4 is not None else kw))
 
     epi1 = jnp.abs(pts_t1l[:, 1] - p_t1r[:, 1]) <= feature_match_error
     epi2 = jnp.abs(p_t2l[:, 1] - p_t2r[:, 1]) <= feature_match_error
     cyc = jnp.sum((p_t1l_back - pts_t1l) ** 2, axis=-1) <= cycle_error * cycle_error
     ok = valid & ok1 & ok2 & ok3 & ok4 & epi1 & epi2 & cyc
-    return {
+    out = {
         "t1l": pts_t1l, "t1r": p_t1r, "t2r": p_t2r, "t2l": p_t2l,
         "valid": ok,
     }
+    if use_sweep:
+        out["dmap"] = dmap2  # next frame's dmap_prev
+    return out

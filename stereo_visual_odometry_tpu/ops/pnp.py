@@ -75,7 +75,7 @@ def _dlt_pose(pts3d: jax.Array, norm2d: jax.Array, wmask: jax.Array) -> jax.Arra
     scale = jnp.where(scale < 1e-12, 1.0, scale)
     P = P / scale
     centroid = jnp.sum(X * wmask[:, None], axis=0) / jnp.maximum(jnp.sum(wmask), 1.0)
-    z_c = P[2, :3] @ centroid + P[2, 3]
+    z_c = jnp.matmul(P[2, :3], centroid, precision=_HI) + P[2, 3]
     P = P * jnp.where(z_c < 0, -1.0, 1.0)
     R = se3.orthonormalize_newton(P[:, :3])
     t = P[:, 3]
@@ -134,7 +134,7 @@ def gauss_newton_pose(cam: Pinhole, T0: jax.Array, pts3d: jax.Array, px: jax.Arr
         # past the isfinite guard.
         L, spd_ok = cholesky_unrolled_flagged(H)
         delta = cho_solve_unrolled(L, -g)
-        T_new = se3.se3_exp(delta) @ T
+        T_new = jnp.matmul(se3.se3_exp(delta), T, precision=_HI)
         good = spd_ok & jnp.all(jnp.isfinite(delta))
         return jnp.where(good, T_new, T)
 

@@ -129,7 +129,8 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     """Twist (..., 6) ``[v, w]`` -> homogeneous transform (..., 4, 4)."""
     v, w = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    t = jnp.einsum("...ij,...j->...i", _so3_left_jacobian(w), v)
+    t = jnp.einsum("...ij,...j->...i", _so3_left_jacobian(w), v,
+                   precision=_HI)
     return from_Rt(R, t)
 
 
@@ -137,7 +138,8 @@ def se3_log(T: jax.Array) -> jax.Array:
     """Homogeneous transform (..., 4, 4) -> twist (..., 6) ``[v, w]``."""
     R, t = to_Rt(T)
     w = so3_log(R)
-    v = jnp.einsum("...ij,...j->...i", _so3_left_jacobian_inv(w), t)
+    v = jnp.einsum("...ij,...j->...i", _so3_left_jacobian_inv(w), t,
+                   precision=_HI)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -159,21 +161,23 @@ def se3_inv(T: jax.Array) -> jax.Array:
     """Closed-form rigid-transform inverse (no linear solve)."""
     R, t = to_Rt(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t,
+                                   precision=_HI))
 
 
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (..., 4, 4) to points (..., N, 3) -> (..., N, 3)."""
     R, t = to_Rt(T)
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", R, pts,
+                      precision=_HI) + t[..., None, :]
 
 
 def orthonormalize(R: jax.Array) -> jax.Array:
     """Project a near-rotation onto SO(3) via SVD (det +1)."""
     U, _, Vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(_mm(U, Vt))
     D = jnp.ones(R.shape[:-2] + (3,), dtype=R.dtype).at[..., 2].set(det)
-    return (U * D[..., None, :]) @ Vt
+    return _mm(U * D[..., None, :], Vt)
 
 
 def orthonormalize_newton(R: jax.Array, iters: int = 4) -> jax.Array:
@@ -190,7 +194,7 @@ def orthonormalize_newton(R: jax.Array, iters: int = 4) -> jax.Array:
     fro = jnp.sqrt(jnp.sum(R * R, axis=(-1, -2), keepdims=True) / 3.0)
     X = R / jnp.maximum(fro, 1e-12)
     for _ in range(iters):
-        X = 1.5 * X - 0.5 * X @ jnp.swapaxes(X, -1, -2) @ X
+        X = 1.5 * X - 0.5 * _mm(_mm(X, jnp.swapaxes(X, -1, -2)), X)
     return X
 
 

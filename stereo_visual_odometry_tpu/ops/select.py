@@ -82,7 +82,9 @@ def grid_top_k(score: jax.Array, k_total: int, cell: int = 32, k_per_cell: int =
     return xy, jnp.where(valid, best, 0.0), valid
 
 
-def subpixel_refine(score: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array:
+def subpixel_refine(score: jax.Array, xy: jax.Array, valid: jax.Array,
+                    use_pallas: bool | None = None,
+                    interpret: bool = False) -> jax.Array:
     """Parabolic subpixel refinement of integer corner locations.
 
     Fits a 1-D parabola through the score and its two neighbours along each
@@ -90,6 +92,10 @@ def subpixel_refine(score: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Ar
     that dominates stereo-disparity (and hence depth/translation-scale)
     error in descriptor pipelines — the reference inherits whatever
     ``cv::FAST`` returns (integer), so this is a conscious improvement.
+
+    On TPU the five per-point neighbourhood reads go through the Pallas
+    window extractor (one (N, 3, 3) extraction) instead of XLA gathers,
+    which scalarize; numerics are identical.
     """
     h, w = score.shape
     xi = jnp.clip(xy[:, 0].astype(jnp.int32), 1, w - 2)
@@ -100,9 +106,31 @@ def subpixel_refine(score: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Ar
         off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
         return jnp.clip(off, -0.5, 0.5)
 
-    sc = score[yi, xi]
-    dx = axis_offset(score[yi, xi - 1], sc, score[yi, xi + 1])
-    dy = axis_offset(score[yi - 1, xi], sc, score[yi + 1, xi])
+    if use_pallas is None:
+        from .lk import use_pallas_default
+
+        use_pallas = use_pallas_default()
+    if use_pallas or interpret:
+        from . import patch_pallas
+
+        n = xy.shape[0]
+        eh = (-h) % 8
+        ew = (-w) % 128 if w >= 256 else 0
+        sp_map = jnp.pad(score, ((0, eh), (0, ew))) if (eh or ew) else score
+        n_pad = (-n) % patch_pallas.BLK
+        corners = jnp.stack([yi - 1, xi - 1], axis=-1)
+        if n_pad:
+            corners = jnp.concatenate(
+                [corners, jnp.zeros((n_pad, 2), corners.dtype)], axis=0)
+        W = patch_pallas.extract_windows_int(sp_map, corners, 3,
+                                             interpret=interpret)[:n]
+        sc = W[:, 1, 1]
+        dx = axis_offset(W[:, 1, 0], sc, W[:, 1, 2])
+        dy = axis_offset(W[:, 0, 1], sc, W[:, 2, 1])
+    else:
+        sc = score[yi, xi]
+        dx = axis_offset(score[yi, xi - 1], sc, score[yi, xi + 1])
+        dy = axis_offset(score[yi - 1, xi], sc, score[yi + 1, xi])
     refined = xy + jnp.stack([dx, dy], axis=-1)
     return jnp.where(valid[:, None], refined, xy)
 

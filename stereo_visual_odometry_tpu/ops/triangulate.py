@@ -47,7 +47,8 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, pts1: jax.Array, pts2: jax.Arr
     # Row-normalize for conditioning, then take the eigenvector of A^T A with
     # the smallest eigenvalue (equivalent to the smallest right singular vector).
     A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
+    AtA = jnp.matmul(jnp.swapaxes(A, -1, -2), A,
+                     precision=jax.lax.Precision.HIGHEST)
     _, eigvecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     X_h = eigvecs[..., :, 0]  # (N, 4)
     w = X_h[..., 3]

@@ -45,6 +45,11 @@ class RunConfig:
     max_frames: int = -1       # -1 = all
     trajectory_out: str = ""   # KITTI-format pose file ("" = don't write)
     seed: int = 0
+    # Per-frame association overlays (the ``displayTracking`` window of the
+    # reference, ``tracking.cpp:354-382``, rendered offline): every Nth
+    # frame's green(prev)/red(cur) tracked features + match lines as PNGs.
+    overlay_dir: str = ""      # "" = off
+    overlay_every: int = 10
 
 
 def _parse_opencv_yaml(path: str) -> dict[str, Any]:

@@ -51,3 +51,32 @@ num_features_tracking: 8
     ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
     assert ate < 0.5, ate
     assert os.path.getsize(plot) > 0
+
+
+def test_cli_dump_overlays(tmp_path):
+    """--dump-overlays writes the displayTracking-equivalent PNGs
+    (``tracking.cpp:354-382``, offline)."""
+    from stereo_visual_odometry_tpu import cli
+
+    root, gt_file, seq = make_kitti_dir(tmp_path)
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text("""%YAML:1.0
+camera1.fx: 300.0
+camera1.fy: 300.0
+camera1.cx: 128.0
+camera1.cy: 96.0
+t_lr0: -0.54
+track_mode: LK_stereof2f_pnp
+nFeatures: 256
+iterationsCount: 128
+inlier_rate: 0.3
+num_features_tracking: 8
+""")
+    ovl = tmp_path / "overlays"
+    rc = cli.main([str(yaml), "--dataset", str(root),
+                   "--dump-overlays", str(ovl), "--every", "2"])
+    assert rc == 0
+    pngs = sorted(os.listdir(ovl))
+    assert len(pngs) >= 2, pngs
+    assert all(p.startswith("tracks_") and p.endswith(".png") for p in pngs)
+    assert all(os.path.getsize(ovl / p) > 0 for p in pngs)

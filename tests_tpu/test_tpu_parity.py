@@ -1,0 +1,133 @@
+"""Hardware parity: Pallas kernels vs the XLA formulations, on the real chip.
+
+Every kernel here has an interpret-mode test in ``tests/``; these assert the
+MOSAIC-compiled lowering agrees too (alignment/roll/predication bugs only
+show up here). Workload mirrors the production shapes (384x1280 frames,
+21x21 LK windows — ``/root/reference/src/tracking.cpp:593-618`` semantics).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereo_visual_odometry_tpu.ops import interp, lk, patch_pallas, pyramid
+from stereo_visual_odometry_tpu.utils import synthetic
+
+
+H, W = 384, 1280
+
+
+@pytest.fixture(scope="module")
+def img_pair():
+    """Textured image + a 3.3px/1.7px translated copy (pure shift field)."""
+    rng = np.random.RandomState(7)
+    base = rng.rand(H + 64, W + 64).astype(np.float32)
+    # Smooth so LK's linearization holds (several px of correlation length).
+    k = jnp.asarray(np.outer(np.hanning(9), np.hanning(9)), jnp.float32)
+    k = k / jnp.sum(k)
+    smooth = jax.scipy.signal.convolve2d(jnp.asarray(base), k, mode="same")
+    dx, dy = 3.3, 1.7
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    pts = jnp.stack([gx + 32, gy + 32], axis=-1)
+    img0 = interp.bilinear(smooth, pts)
+    img1 = interp.bilinear(smooth, pts + jnp.array([-dx, -dy]))
+    return np.asarray(img0), np.asarray(img1), (dx, dy)
+
+
+@pytest.fixture(scope="module")
+def points():
+    rng = np.random.RandomState(3)
+    n = 256
+    xy = np.stack([rng.uniform(40, W - 40, n),
+                   rng.uniform(40, H - 40, n)], axis=-1).astype(np.float32)
+    return jnp.asarray(xy)
+
+
+def test_patch_extraction_parity(img_pair, points):
+    img = jnp.asarray(img_pair[0])
+    got = patch_pallas.extract_patches(img, points, 21, use_pallas=True)
+    want = interp.sample_patches(img, points, 21)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=0)
+
+
+def test_lk_cell_kernel_level_parity(img_pair, points):
+    """One pyramid level: Pallas cell kernel vs the XLA level tracker."""
+    img0, img1, (dx, dy) = img_pair
+    i0, i1 = jnp.asarray(img0), jnp.asarray(img1)
+    guess = jnp.zeros((points.shape[0], 2), jnp.float32)
+    flow_x, ok_x = lk._level_track(i0, i1, points, guess, win=21, iters=30,
+                                   eps=0.01, min_eig=1e-4, search_radius=6)
+    from stereo_visual_odometry_tpu.ops import lk_pallas_cell
+
+    pad = 12
+    eh = (-(H + 2 * pad)) % 8
+    ew = (-(W + 2 * pad)) % 128
+    pads = ((pad, pad + eh), (pad, pad + ew))
+    i0p = jnp.pad(i0, pads, mode="edge")
+    i1p = jnp.pad(i1, pads, mode="edge")
+    flow_p, ok_p = lk_pallas_cell.level_track_pallas_cell(
+        i0p, i1p, points, guess, win=21, iters=30, eps=0.01,
+        min_eig=1e-4, search_radius=6, pad=pad)
+
+    ok_both = np.asarray(ok_x & ok_p)
+    assert ok_both.mean() > 0.9, ok_both.mean()
+    # Both find the true shift; they agree with each other to sub-0.1 px.
+    fx = np.asarray(flow_x)[ok_both]
+    fp = np.asarray(flow_p)[ok_both]
+    np.testing.assert_allclose(fp.mean(0), [dx, dy], atol=0.1)
+    assert np.median(np.abs(fp - fx)) < 0.05, np.median(np.abs(fp - fx))
+
+
+@pytest.mark.parametrize("kernel", ["cell", "dense"])
+def test_full_track_parity(img_pair, points, kernel):
+    """3-level pyramidal track: pallas backends vs xla backend."""
+    img0, img1, (dx, dy) = img_pair
+    p0 = tuple(pyramid.build_pyramid(jnp.asarray(img0), 4))
+    p1 = tuple(pyramid.build_pyramid(jnp.asarray(img1), 4))
+    pts_x, ok_x = lk.track(p0, p1, points, levels=3, use_pallas=False)
+    pts_p, ok_p = lk.track(p0, p1, points, levels=3, use_pallas=True,
+                           pallas_kernel=kernel)
+    ok_both = np.asarray(ok_x & ok_p)
+    assert ok_both.mean() > 0.9, ok_both.mean()
+    err = np.abs(np.asarray(pts_p) - np.asarray(points) -
+                 np.array([dx, dy]))[ok_both]
+    assert np.median(err) < 0.1, np.median(err)
+    agree = np.abs(np.asarray(pts_p) - np.asarray(pts_x))[ok_both]
+    assert np.median(agree) < 0.05, np.median(agree)
+
+
+def test_circular_track_step_parity():
+    """Full production circular LK on a rendered stereo pair, both backends."""
+    from stereo_visual_odometry_tpu.ops import fast, select
+    from stereo_visual_odometry_tpu.ops.camera import StereoRig
+
+    seq = synthetic.render_sequence(n_frames=2, h=H, w=W, fx=718.856,
+                                    baseline=0.537, n_points=6000,
+                                    speed=1.1, seed=5)
+    il = jnp.asarray(seq["images_l"], jnp.float32)
+    ir = jnp.asarray(seq["images_r"], jnp.float32)
+    rig = StereoRig.kitti(fx=718.856, fy=718.856, cx=W / 2, cy=H / 2,
+                          baseline=0.537)
+    score = fast.detect(il[0], 20.0)
+    kp, _, valid = select.grid_top_k(score, 512, cell=32, k_per_cell=8)
+    pyrs = tuple(tuple(pyramid.build_pyramid(im, 4))
+                 for im in (il[0], ir[0], ir[1], il[1]))
+    T_pred = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(1.1)
+    kw = dict(rig=rig, T_pred=T_pred, use_sweep=True, sweep_d_max=48,
+              stereo_levels=1, temporal_levels=2)
+    qx = lk.circular_track(pyrs, kp, valid, use_pallas=False, **kw)
+    qp = lk.circular_track(pyrs, kp, valid, use_pallas=True,
+                           pallas_kernel="dense", **kw)
+    vx = np.asarray(qx["valid"])
+    vp = np.asarray(qp["valid"])
+    # The two backends keep (nearly) the same survivor set...
+    assert vp.sum() > 0.8 * max(vx.sum(), 1), (vp.sum(), vx.sum())
+    both = vx & vp
+    assert both.sum() > 50
+    # ...and agree on where the survivors went (sub-0.1 px median).
+    for key in ("t1r", "t2l"):
+        d = np.abs(np.asarray(qp[key]) - np.asarray(qx[key]))[both]
+        assert np.median(d) < 0.1, (key, np.median(d))
