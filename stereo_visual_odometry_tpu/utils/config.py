@@ -117,7 +117,8 @@ def load_reference_yaml(path: str) -> RunConfig:
         orb_min_th=float(g("minThFAST", 7)),
         feature_match_error=float(g("feature_match_error", 2.0)),
         num_hypotheses=int(g("iterationsCount", 512)),
-        inlier_px=float(g("reprojectionError", 2.0)),
+        inlier_px=(float(kv["reprojectionError"])
+                   if "reprojectionError" in kv else None),
         min_features_detect=int(g("num_features_init", 30)),
         min_features_track=int(g("num_features_tracking", 10)),
         min_inlier_rate=float(g("inlier_rate", vo_default["min_inlier_rate"])),
