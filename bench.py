@@ -360,20 +360,29 @@ def run_tpu_parity(il, ir) -> dict:
     px = interp.sample_patches(i0, kp, 21)
     patch_err = float(jnp.max(jnp.abs(pp - px)))
 
-    # Full 3-level LK track: pallas cell kernel vs XLA formulation.
+    # Full 3-level LK track vs the XLA formulation, for BOTH Pallas
+    # backends — 'dense' is the shipping VOConfig default, 'cell' the
+    # fallback (ADVICE r4: the parity block must exercise the production
+    # kernel, not just the fallback).
     p0 = tuple(pyramid.build_pyramid(i0, 4))
     p1 = tuple(pyramid.build_pyramid(i1, 4))
     pts_x, ok_x = lk.track(p0, p1, kp, levels=3, active=valid, use_pallas=False)
-    pts_p, ok_p = lk.track(p0, p1, kp, levels=3, active=valid, use_pallas=True)
-    both = np.asarray(ok_x & ok_p & valid)
-    n_both = int(both.sum())
-    flow_med = (float(np.median(np.abs(np.asarray(pts_p) -
-                                       np.asarray(pts_x))[both]))
-                if n_both else float("nan"))
-    ok = patch_err < 2e-3 and n_both >= 30 and flow_med < 0.05
+    per_kernel = {}
+    ok = patch_err < 2e-3
+    for kern in ("dense", "cell"):
+        pts_p, ok_p = lk.track(p0, p1, kp, levels=3, active=valid,
+                               use_pallas=True, pallas_kernel=kern)
+        both = np.asarray(ok_x & ok_p & valid)
+        n_both = int(both.sum())
+        flow_med = (float(np.median(np.abs(np.asarray(pts_p) -
+                                           np.asarray(pts_x))[both]))
+                    if n_both else float("nan"))
+        per_kernel[kern] = {"median_px": round(flow_med, 6), "n": n_both}
+        ok = ok and n_both >= 30 and flow_med < 0.05
     res = {"ok": bool(ok), "patch_max_err_px": round(patch_err, 6),
-           "lk_median_disagreement_px": round(flow_med, 6),
-           "n_points_compared": n_both}
+           "lk_median_disagreement_px": per_kernel["dense"]["median_px"],
+           "n_points_compared": per_kernel["dense"]["n"],
+           "per_kernel": per_kernel}
     print(f"[bench] tpu kernel parity: {res}", file=sys.stderr)
     return res
 

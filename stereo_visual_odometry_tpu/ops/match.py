@@ -72,7 +72,11 @@ def reference_distance_gate(best: jax.Array, valid: jax.Array,
 def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
                           feature_match_error: float = 2.0,
                           dist_floor: float = 30.0, dist_ratio: float = 2.0,
-                          use_mutual: bool = False):
+                          use_mutual: bool = False,
+                          max_level_diff: int | None = None,
+                          stereo_premask: bool = False,
+                          max_disparity: float = 128.0,
+                          temporal_radius: float | None = None):
     """The reference's two-matching association for the ORB pipeline.
 
     match1 = t1L <-> t1R (stereo), match2 = t1L <-> t2L (temporal)
@@ -84,8 +88,28 @@ def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
     adaptive gate collapses yield — precision comes from the epipolar gate
     and RANSAC-PnP downstream, as in the reference.
 
+    TPU-first extensions beyond ``cv::BFMatcher`` (all masks fold into the
+    dense (N, M) distance matrix at negligible cost, so candidate gating
+    happens BEFORE the argmin instead of discarding rows after it — the
+    fix for cross-level duplicate aliasing, VERDICT r4 next #1):
+
+    * ``max_level_diff``: match only octave-adjacent detections
+      (|Δlevel| <= k). The same physical corner is re-detected at several
+      pyramid levels with DIFFERENT descriptor support; letting a level-0
+      detection match a level-4 duplicate splits the vote and inflates
+      distances. Same-or-adjacent-level candidates are the ones whose
+      descriptors are commensurate.
+    * ``stereo_premask``: restrict the stereo matching to epipolar-feasible
+      candidates (|Δy| < feature_match_error, 0 < disparity <=
+      max_disparity) instead of gating after the argmin — the rectified
+      geometry is known, so a feature's true partner cannot lose the argmin
+      to a lookalike elsewhere in the image.
+    * ``temporal_radius``: restrict the temporal matching to candidates
+      within R px (frame-to-frame motion bound; None = unrestricted).
+
     Args:
-      feat_*: dicts from ``orb.detect_and_describe`` (xy, desc, valid).
+      feat_*: dicts from ``orb.detect_and_describe`` (xy, desc, valid,
+      level).
     Returns:
       dict(idx_r, idx_t2l (N,) int32 target indices; valid (N,) bool) —
       fixed-size, indexed by t1L slots.
@@ -94,6 +118,21 @@ def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
                           feat_t1l["valid"], feat_t1r["valid"])
     d_tm = hamming_matrix(feat_t1l["desc"], feat_t2l["desc"],
                           feat_t1l["valid"], feat_t2l["valid"])
+
+    if max_level_diff is not None:
+        dl_st = jnp.abs(feat_t1l["level"][:, None] - feat_t1r["level"][None, :])
+        dl_tm = jnp.abs(feat_t1l["level"][:, None] - feat_t2l["level"][None, :])
+        d_st = jnp.where(dl_st <= max_level_diff, d_st, _BIG)
+        d_tm = jnp.where(dl_tm <= max_level_diff, d_tm, _BIG)
+    if stereo_premask:
+        dy = jnp.abs(feat_t1l["xy"][:, None, 1] - feat_t1r["xy"][None, :, 1])
+        disp = feat_t1l["xy"][:, None, 0] - feat_t1r["xy"][None, :, 0]
+        feas = (dy < feature_match_error) & (disp > 0.0) & (disp <= max_disparity)
+        d_st = jnp.where(feas, d_st, _BIG)
+    if temporal_radius is not None:
+        d2 = jnp.sum((feat_t1l["xy"][:, None, :] -
+                      feat_t2l["xy"][None, :, :]) ** 2, axis=-1)
+        d_tm = jnp.where(d2 <= temporal_radius * temporal_radius, d_tm, _BIG)
 
     idx_r, best_st = match_best(d_st)
     idx_t, best_tm = match_best(d_tm)

@@ -29,6 +29,21 @@ from . import sequences
 from .mesh import shard_leading
 
 
+# (cfg, rig-bytes) -> (init_fn, step_fn). run_chunk_scan's jit cache is keyed
+# on the step function's IDENTITY (static arg), so rebuilding the frontend per
+# evaluation would recompile the whole scan each call and grow the cache
+# unboundedly in long-lived processes (ADVICE r4 #4).
+_frontend_cache: dict = {}
+
+
+def _cached_frontend(cfg, rig):
+    key = (cfg, tuple(np.asarray(leaf).tobytes()
+                      for leaf in jax.tree_util.tree_leaves(rig)))
+    if key not in _frontend_cache:
+        _frontend_cache[key] = frontend_mod.make_frontend(cfg, rig)
+    return _frontend_cache[key]
+
+
 def _compose_chunk(cur: np.ndarray, T21: np.ndarray, acc: np.ndarray,
                    poses: list) -> np.ndarray:
     """Advance the (S, 4, 4) pose chain through one chunk, vectorized over S.
@@ -50,7 +65,7 @@ def _run_streaming(load_chunk: Callable[[int, int], tuple[np.ndarray, np.ndarray
     """Core driver: double-buffered chunk loads feeding the vmapped scan."""
     import time
 
-    init_fn, step_fn = frontend_mod.make_frontend(cfg, rig)
+    init_fn, step_fn = _cached_frontend(cfg, rig)
 
     def put(x):
         x = jnp.asarray(x)
@@ -65,6 +80,11 @@ def _run_streaming(load_chunk: Callable[[int, int], tuple[np.ndarray, np.ndarray
     cur = np.tile(np.eye(4), (S, 1, 1))
     poses = [cur.copy()]
     accepts = []
+    if not starts:  # T == 1: init-only, nothing to track (ADVICE r4)
+        trajs = [np.stack(poses, axis=1)[s, : int(lengths[s])]
+                 for s in range(S)]
+        return {"trajectories": trajs, "accept_rate": [0.0] * S,
+                "frames_per_s": 0.0, "wall_s": 0.0}
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(load_chunk, starts[0], min(starts[0] + chunk, T))

@@ -87,34 +87,53 @@ _TRACK_MODE_MAP = {
 def load_reference_yaml(path: str) -> RunConfig:
     """Build a RunConfig from a reference-format YAML file.
 
-    Key mapping follows ``parameter.cpp:7-72``; keys absent from the file
-    keep our defaults (the reference errors instead — friendlier here).
+    Key mapping follows the reference's own key inventory,
+    ``/root/reference/src/parameter.cpp:10-71`` — ``camera_l.*`` /
+    ``camera_r.*`` intrinsics, ``t_lr*``/``R_lr*`` extrinsics,
+    ``fScaleFactor``/``fIniThFAST``/``fMinThFAST`` ORB params and
+    ``dataset_path``. Earlier invented spellings (``camera1.fx``,
+    ``scaleFactor``, ``dataset_dir``, …) are kept as fallback aliases.
+    Keys absent from the file keep our defaults (the reference errors
+    instead — friendlier here).
     """
     kv = _parse_opencv_yaml(path)
     g = kv.get
+
+    def pick(*keys, default=None):
+        """First present key wins (real schema first, aliases after)."""
+        for k in keys:
+            if k in kv:
+                return kv[k]
+        return default
+
     # YAML-absent fallbacks come from VOConfig's own field defaults so the
     # two can't drift apart on a retune (ADVICE r3).
     vo_default = {f.name: f.default for f in dataclasses.fields(VOConfig)}
 
     cam = CameraConfig(
-        fx=g("camera1.fx", 718.856), fy=g("camera1.fy", 718.856),
-        cx=g("camera1.cx", 607.1928), cy=g("camera1.cy", 185.2157),
-        fx2=g("camera2.fx"), fy2=g("camera2.fy"),
-        cx2=g("camera2.cx"), cy2=g("camera2.cy"),
+        fx=pick("camera_l.fx", "camera1.fx", default=718.856),
+        fy=pick("camera_l.fy", "camera1.fy", default=718.856),
+        cx=pick("camera_l.cx", "camera1.cx", default=607.1928),
+        cy=pick("camera_l.cy", "camera1.cy", default=185.2157),
+        fx2=pick("camera_r.fx", "camera2.fx"),
+        fy2=pick("camera_r.fy", "camera2.fy"),
+        cx2=pick("camera_r.cx", "camera2.cx"),
+        cy2=pick("camera_r.cy", "camera2.cy"),
         baseline=abs(g("t_lr0", -0.537)),
         t_rl=(g("t_lr0", -0.537), g("t_lr1", 0.0), g("t_lr2", 0.0)),
         R_rl=tuple(g(f"R_lr{i}", 1.0 if i in (0, 4, 8) else 0.0) for i in range(9)),
     )
 
     mode = _TRACK_MODE_MAP.get(str(g("track_mode", "ORB_stereof2f_pnp")), "orb")
+    ini_th = pick("fIniThFAST", "iniThFAST", default=20)
     vo = VOConfig(
         mode=mode,
         max_features=int(g("nFeatures", 1024)),
-        fast_threshold=float(g("iniThFAST", 20)),
+        fast_threshold=float(ini_th),
         orb_levels=int(g("nLevels", 8)),
-        orb_scale=float(g("scaleFactor", 1.2)),
-        orb_ini_th=float(g("iniThFAST", 20)),
-        orb_min_th=float(g("minThFAST", 7)),
+        orb_scale=float(pick("fScaleFactor", "scaleFactor", default=1.2)),
+        orb_ini_th=float(ini_th),
+        orb_min_th=float(pick("fMinThFAST", "minThFAST", default=7)),
         feature_match_error=float(g("feature_match_error", 2.0)),
         num_hypotheses=int(g("iterationsCount", 512)),
         inlier_px=(float(kv["reprojectionError"])
@@ -127,7 +146,7 @@ def load_reference_yaml(path: str) -> RunConfig:
     )
 
     return RunConfig(
-        dataset_dir=str(g("dataset_dir", "")),
+        dataset_dir=str(pick("dataset_path", "dataset_dir", default="")),
         camera=cam,
         vo=vo,
     )

@@ -99,6 +99,26 @@ def test_full_track_parity(img_pair, points, kernel):
     assert np.median(agree) < 0.05, np.median(agree)
 
 
+def test_subpixel_refine_parity(img_pair):
+    """S=3 Mosaic lowering of extract_windows_int (ADVICE r4 #3).
+
+    subpixel_refine silently enables the Pallas S=3 window path on TPU by
+    default; tests/ cover it only in interpret mode and the LK suites only
+    at S=22/24 — assert the 3x3 hardware lowering matches the XLA gather
+    formulation exactly.
+    """
+    from stereo_visual_odometry_tpu.ops import fast, select
+
+    img = jnp.asarray(img_pair[0])
+    score = fast.detect(img, 10.0)
+    xy, _, valid = select.grid_top_k(score, 512, cell=32, k_per_cell=8)
+    ref = select.subpixel_refine(score, xy, valid, use_pallas=False)
+    got = select.subpixel_refine(score, xy, valid, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got)[np.asarray(valid)],
+                               np.asarray(ref)[np.asarray(valid)],
+                               atol=1e-4, rtol=0)
+
+
 def test_circular_track_step_parity():
     """Full production circular LK on a rendered stereo pair, both backends."""
     from stereo_visual_odometry_tpu.ops import fast, select
