@@ -137,11 +137,14 @@ def main():
         mesh = make_mesh(n, axis="ba", platform=args.platform)
         solve = dist_ba.make_distributed_ba(bcam, mesh, n_kf=n_kf, n_lm=n_lm,
                                             n_iters=6, gm_polish=False)
+        # Landmark-coherent shards (the make_distributed_ba contract).
+        kf_p, lm_p, uv_p, w_p = dist_ba.partition_obs_by_landmark(
+            kf, lm, uv, wgt, n)
 
         def run():
             out = solve(jnp.asarray(poses_init), jnp.asarray(pts_init),
-                        jnp.asarray(kf), jnp.asarray(lm), jnp.asarray(uv),
-                        jnp.asarray(wgt))
+                        jnp.asarray(kf_p), jnp.asarray(lm_p),
+                        jnp.asarray(uv_p), jnp.asarray(w_p))
             return out["cost_final"]
 
         t = timeit(run, args.reps)

@@ -66,13 +66,17 @@ def worker(args):
             if pc[l, 2] > 1:
                 obs.append((k, l, uv[l] + rng.normal(size=2) * 0.3))
     m = len(obs)
-    m_pad = -(-m // n_global) * n_global
-    obs_kf = np.zeros(m_pad, np.int32)
-    obs_lm = np.zeros(m_pad, np.int32)
-    obs_uv = np.zeros((m_pad, 2), np.float32)
-    obs_w = np.zeros(m_pad, np.float32)
+    obs_kf = np.zeros(m, np.int32)
+    obs_lm = np.zeros(m, np.int32)
+    obs_uv = np.zeros((m, 2), np.float32)
+    obs_w = np.zeros(m, np.float32)
     for i, (k, l, uv) in enumerate(obs):
         obs_kf[i], obs_lm[i], obs_uv[i], obs_w[i] = k, l, uv, 1.0
+    # Landmark-coherent global shards; every process computes the SAME
+    # deterministic layout, then feeds only its slice of rows.
+    obs_kf, obs_lm, obs_uv, obs_w = dist_ba.partition_obs_by_landmark(
+        obs_kf, obs_lm, obs_uv, obs_w, n_global)
+    m_pad = obs_kf.shape[0]
     poses_init = poses_gt.copy()
     for k in range(1, n_kf):
         poses_init[k][:3, 3] += rng.normal(size=3).astype(np.float32) * 0.05

@@ -150,34 +150,53 @@ def assemble_normal_eqs(cam: Pinhole, poses: jax.Array, points: jax.Array,
             "cost": cost, "n_active": n_active}
 
 
-def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
-    """Schur-complement solve of the damped normal equations.
+def schur_partials(eqs: dict, lm_damping: jax.Array):
+    """Shard-local Schur contributions after landmark elimination.
 
-    Returns (dx_pose (K, 6), dx_point (L, 3)). The first ``n_fixed`` pose
-    updates are zeroed (gauge fixing).
+    Everything here needs only THIS shard's observations, provided the
+    shard is landmark-coherent (every observation of a landmark lives on
+    one shard — ``parallel/dist_ba.partition_obs_by_landmark``): then
+    ``Hll``/``bl`` for owned landmarks are complete locally, landmarks a
+    shard does not own have all-zero rows (their damped inverse backfills
+    1e8*I against a zero ``W`` column — contributing exactly zero), and
+    the Schur cross terms between shards vanish.
+
+    Returns (reduced, local): ``reduced`` is the tiny pytree to all-reduce
+    across shards — S_part (K, K, 6, 6), b_part (K, 6), Hpp (K, 6, 6),
+    bp (K, 6): ~40 KB at window size vs the ~2.4 MB dense ``Hpl`` — and
+    ``local`` holds what back-substitution needs (Hll_inv, W, bl).
     """
-    Hpp, Hll, Hpl = eqs["Hpp"], eqs["Hll"], eqs["Hpl"]
-    bp, bl = eqs["bp"], eqs["bl"]
-    K, L = Hpp.shape[0], Hll.shape[0]
+    Hll, W = eqs["Hll"], eqs["Hpl"]
     I3 = jnp.eye(3, dtype=Hll.dtype)
-    I6 = jnp.eye(6, dtype=Hpp.dtype)
-
-    # Multiplicative (Marquardt) damping on block diagonals.
     Hll_d = Hll + lm_damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll)) + 1e-8 * I3
-    Hpp_d = Hpp + lm_damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * I6
-
     Hll_inv = jnp.linalg.inv(Hll_d)  # (L, 3, 3) batched
 
-    # S = Hpp_d - Hpl Hll^-1 Hpl^T  (block form -> dense (6K, 6K)).
-    W = Hpl                                              # (K, L, 6, 3)
     WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv, precision=_HI)
-    S_blocks = -jnp.einsum("klac,jlbc->kjab", WHinv, W, precision=_HI)  # (K, K, 6, 6)
-    S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp_d)
-    if "Hpp_cross" in eqs:
+    S_part = -jnp.einsum("klac,jlbc->kjab", WHinv, W, precision=_HI)  # (K, K, 6, 6)
+    b_part = -jnp.einsum("klac,lc->ka", WHinv, eqs["bl"], precision=_HI)
+    reduced = {"S_part": S_part, "b_part": b_part,
+               "Hpp": eqs["Hpp"], "bp": eqs["bp"]}
+    local = {"Hll_inv": Hll_inv, "W": W, "bl": eqs["bl"]}
+    return reduced, local
+
+
+def solve_reduced(reduced: dict, lm_damping: jax.Array, n_fixed: int,
+                  Hpp_cross=None):
+    """Solve the reduced camera system (replicated, post-all-reduce).
+
+    Pose damping is applied HERE — after the cross-shard sum — because
+    ``diag(sum) != sum(diag-damped partials)``.
+    """
+    Hpp = reduced["Hpp"]
+    K = Hpp.shape[0]
+    I6 = jnp.eye(6, dtype=Hpp.dtype)
+    Hpp_d = Hpp + lm_damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) + 1e-8 * I6
+    S_blocks = reduced["S_part"].at[jnp.arange(K), jnp.arange(K)].add(Hpp_d)
+    if Hpp_cross is not None:
         # Dense pose-pose information from a marginalization prior
         # (models/marg.py); its gradient already sits in bp.
-        S_blocks = S_blocks + eqs["Hpp_cross"]
-    b_schur = eqs["bp"] - jnp.einsum("klac,lc->ka", WHinv, bl, precision=_HI)
+        S_blocks = S_blocks + Hpp_cross
+    b_schur = reduced["bp"] + reduced["b_part"]
 
     S = S_blocks.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
     b = b_schur.reshape(6 * K)
@@ -189,12 +208,27 @@ def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
         S = jnp.where(mask[:, None] & mask[None, :], S,
                       jnp.eye(6 * K, dtype=S.dtype))
         b = jnp.where(mask, b, 0.0)
+    return -jnp.linalg.solve(S, b).reshape(K, 6)
 
-    dx_pose = -jnp.linalg.solve(S, b).reshape(K, 6)
-    # Back-substitute landmarks: dx_l = -Hll^-1 (bl + W^T dx_p).
-    Wt_dx = jnp.einsum("klab,ka->lb", W, dx_pose, precision=_HI)
-    dx_point = -jnp.einsum("lab,lb->la", Hll_inv, bl + Wt_dx, precision=_HI)
-    return dx_pose, dx_point
+
+def back_substitute(local: dict, dx_pose: jax.Array) -> jax.Array:
+    """dx_l = -Hll^-1 (bl + W^T dx_p) — landmark updates from this shard's
+    blocks (zero for landmarks the shard does not own)."""
+    Wt_dx = jnp.einsum("klab,ka->lb", local["W"], dx_pose, precision=_HI)
+    return -jnp.einsum("lab,lb->la", local["Hll_inv"], local["bl"] + Wt_dx,
+                       precision=_HI)
+
+
+def solve_schur(eqs: dict, lm_damping: jax.Array, n_fixed: int):
+    """Schur-complement solve of the damped normal equations.
+
+    Returns (dx_pose (K, 6), dx_point (L, 3)). The first ``n_fixed`` pose
+    updates are zeroed (gauge fixing).
+    """
+    reduced, local = schur_partials(eqs, lm_damping)
+    dx_pose = solve_reduced(reduced, lm_damping, n_fixed,
+                            Hpp_cross=eqs.get("Hpp_cross"))
+    return dx_pose, back_substitute(local, dx_pose)
 
 
 def _apply(poses, points, dx_pose, dx_point):
@@ -205,36 +239,80 @@ def _apply(poses, points, dx_pose, dx_point):
 
 def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
              n_iters, n_fixed, huber_px, init_damping, robust="huber",
-             obs_right=None, T_rl=None, reduce_tree=None, prior=None):
-    """One LM phase. ``reduce_tree`` (optional) reduces the assembled
-    normal-equation pytree across observation shards — identity on one
-    chip, a per-leaf ``psum`` in the distributed deployment
-    (``parallel/dist_ba.py``); the solver itself is shard-agnostic.
-    ``prior`` (optional) is a marginalization prior dict (``models/marg.py``)
-    added to the reduced equations."""
-    n_kf, n_lm = poses.shape[0], points.shape[0]
+             obs_right=None, T_rl=None, reduce_tree=None, prior=None,
+             schur_reduce=False):
+    """One LM phase. ``reduce_tree`` (optional) reduces pytrees across
+    observation shards — identity on one chip, a per-leaf ``psum`` in the
+    distributed deployment (``parallel/dist_ba.py``); the solver itself is
+    shard-agnostic. ``prior`` (optional) is a marginalization prior dict
+    (``models/marg.py``).
 
-    def eqs_of(p, x):
-        e = assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
-                                huber_px, n_kf, n_lm, robust=robust,
-                                obs_right=obs_right, T_rl=T_rl)
-        if reduce_tree is not None:
-            e = reduce_tree(e)
+    ``schur_reduce``: move the all-reduce AFTER landmark elimination —
+    shards must then be landmark-coherent
+    (``dist_ba.partition_obs_by_landmark``). Per-iteration traffic drops
+    from the dense normal-equation tree (dominated by the (K, L, 6, 3)
+    ``Hpl``, ~2.4 MB at the 16x2048 production window) to the reduced
+    camera system + landmark updates (~70 KB) — the distributed-Schur
+    layout where collectives carry only pose-sized state (VERDICT r4
+    next #6). False keeps the reduce on the assembled equations
+    (any-sharding fallback).
+    """
+    n_kf, n_lm = poses.shape[0], points.shape[0]
+    ident = reduce_tree is None
+    red = (lambda t: t) if ident else reduce_tree
+
+    def local_eqs(p, x):
+        return assemble_normal_eqs(cam, p, x, obs_kf, obs_lm, obs_uv, obs_w,
+                                   huber_px, n_kf, n_lm, robust=robust,
+                                   obs_right=obs_right, T_rl=T_rl)
+
+    def cost_of(p, x):
+        # Scalar-only reduction: the full tree is never shipped for a cost
+        # probe (the accept/reject step and cost0 need just this number).
+        c = red(local_eqs(p, x)["cost"])
+        if prior is not None:
+            from . import marg
+
+            delta = marg.prior_deltas(prior, p.astype(prior["b"].dtype))
+            H, b = prior["H"], prior["b"]
+            c = c + (0.5 * jnp.einsum("ka,kjab,jb->", delta, H, delta,
+                                      precision=_HI)
+                     + jnp.sum(b * delta))
+        return c
+
+    def step_of(p, x, lam):
+        """One damped Schur step -> (dx_pose, dx_point)."""
+        e = local_eqs(p, x)
+        if schur_reduce and not ident:
+            reduced, local = schur_partials(e, lam)
+            reduced = red(reduced)
+            cross = None
+            if prior is not None:
+                from . import marg
+
+                delta = marg.prior_deltas(prior, p.astype(prior["b"].dtype))
+                grad = jnp.einsum("kjab,jb->ka", prior["H"], delta,
+                                  precision=_HI) + prior["b"]
+                reduced = dict(reduced)
+                reduced["bp"] = reduced["bp"] + grad * prior["mask"][:, None]
+                cross = prior["H"]
+            dxp = solve_reduced(reduced, lam, n_fixed, Hpp_cross=cross)
+            # Each shard back-substitutes only its own landmarks (others
+            # contribute zero); the sum re-replicates the point update.
+            dxl = red(back_substitute(local, dxp))
+            return dxp, dxl
+        e = red(e)
         if prior is not None:
             from . import marg
 
             e = marg.add_prior_to_eqs(e, prior, p)
-        return e
-
-    def cost_of(p, x):
-        return eqs_of(p, x)["cost"]
+        return solve_schur(e, lam, n_fixed)
 
     cost0 = cost_of(poses, points)
 
     def body(_, carry):
         p, x, lam, cost = carry
-        eqs = eqs_of(p, x)
-        dxp, dxl = solve_schur(eqs, lam, n_fixed)
+        dxp, dxl = step_of(p, x, lam)
         p_new, x_new = _apply(p, x, dxp, dxl)
         new_cost = cost_of(p_new, x_new)
         ok = jnp.isfinite(new_cost) & (new_cost < cost)
@@ -255,7 +333,7 @@ def _lm_loop(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
 def _solve_phases(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
                   n_iters, n_fixed, huber_px, init_damping, gm_polish,
                   prune_px, obs_right=None, T_rl=None, reduce_tree=None,
-                  prior=None):
+                  prior=None, schur_reduce=False):
     """The full solve schedule (GNC phases + optional prune-and-repolish),
     shared verbatim by the single-chip and distributed deployments."""
     # Graduated non-convexity: Geman-McClure with an annealed scale. The wide
@@ -275,7 +353,7 @@ def _solve_phases(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
             iters, n_fixed, huber_px * mult, init_damping, robust=robust,
             obs_right=obs_right, T_rl=T_rl, reduce_tree=reduce_tree,
-            prior=prior)
+            prior=prior, schur_reduce=schur_reduce)
         if cost0 is None:
             cost0 = c0
 
@@ -290,7 +368,7 @@ def _solve_phases(cam, poses, points, obs_kf, obs_lm, obs_uv, obs_w,
             cam, poses_f, points_f, obs_kf, obs_lm, obs_uv, obs_w,
             max(n_iters // 2, 2), n_fixed, huber_px, init_damping,
             obs_right=obs_right, T_rl=T_rl, reduce_tree=reduce_tree,
-            prior=prior)
+            prior=prior, schur_reduce=schur_reduce)
 
     return poses_f, points_f, lam_f, cost_f, cost0, obs_w
 

@@ -200,9 +200,12 @@ class SlidingWindowBA:
         the latest keyframe, cost_initial, cost_final) or None if the
         window is too small.
         """
+        import time
+
         K = len(self.kf_poses)
         if K < 2:
             return None
+        t_start = time.perf_counter()
         cfg = self.cfg
 
         # Landmarks observed by >= min_track_obs window keyframes.
@@ -275,4 +278,7 @@ class SlidingWindowBA:
         return {"correction": correction,
                 "cost_initial": float(out["cost_initial"]),
                 "cost_final": float(out["cost_final"]),
-                "n_landmarks": len(tids), "n_obs": m, "n_kf": K}
+                "n_landmarks": len(tids), "n_obs": m, "n_kf": K,
+                # Wall includes assembly + device solve + host copy-back —
+                # the number that matters for keyframe-rate budgeting.
+                "wall_s": time.perf_counter() - t_start}

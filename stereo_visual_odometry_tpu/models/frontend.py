@@ -72,6 +72,24 @@ class VOConfig:
     # ~4x (285 -> 71) and doubles ATE. With the one-way matcher + floor-50
     # gate the duplicate aliasing it targeted is no longer the yield limiter.
     orb_dedup_radius: float = 0.0
+    # Candidate premasks folded into the Hamming matrix BEFORE the argmin
+    # (ops/match.py): octave-adjacent levels only (the cross-level duplicate
+    # aliasing fix — a corner's true partner is detected at the same octave),
+    # epipolar/disparity feasibility for the stereo matching, and a motion
+    # bound for the temporal matching. Defaults ON (r5 retune, measured on
+    # the 48-frame synthetic e2e at 2048 features: ATE 0.24 -> 0.053,
+    # n_tracked 121 -> 485 — scripts/probe_orb_e2e_2048.py); set
+    # None/False for the reference-faithful unrestricted brute force.
+    orb_max_level_diff: int | None = 1
+    orb_stereo_premask: bool = True
+    orb_max_disparity: float = 128.0
+    orb_temporal_radius: float | None = 150.0
+    # Upright BRIEF (describe at angle 0): f2f stereo VO has near-zero
+    # in-plane rotation, so rotating the pattern by the per-view-noisy IC
+    # angle only flips bits between views of the same corner — upright
+    # halves matched-pair Hamming distances (median 29 -> 16 of 256,
+    # scripts/probe_orb_dealias2.py).
+    orb_upright: bool = True
     # Triangulation depth gate
     z_min: float = 0.5
     z_max: float = 200.0
@@ -80,9 +98,13 @@ class VOConfig:
     # LK tracks are subpixel so the tight gate pays: measured ATE
     # 0.061 -> 0.023 on the synthetic bench), 2.0 px for ORB (descriptor
     # association is coarser; 0.5 collapses accept to 0.90/ATE 1.5).
-    num_hypotheses: int = 512
+    # 256 hypotheses / 6 refine iters are the r4-benched operating point
+    # (ATE beat the reproduced reference at accept 1.00); promoted to the
+    # shipping default so benched config ≡ shipping config (VERDICT r4
+    # weak #5).
+    num_hypotheses: int = 256
     inlier_px: float | None = None
-    refine_iters: int = 10
+    refine_iters: int = 6
 
     @property
     def inlier_px_resolved(self) -> float:
@@ -131,6 +153,9 @@ class VOConfig:
 
 # Tracking status values (``tracking.h:22-27``).
 INITING, TRACKING_GOOD, LOST = 0, 1, 2
+
+# Sentinel for the persistent-track id scatters (larger than any real id).
+_ID_BIG = (1 << 30)
 
 
 def _detect_left(cfg: VOConfig, img_l: jax.Array):
@@ -200,9 +225,13 @@ def make_lk_frontend(cfg: VOConfig, rig: StereoRig):
                 pl[L], pr[L], d_max=cfg.lk_sweep_d_max)
         if cfg.persistent_tracks:
             k = cfg.max_features
-            ids = jnp.where(valid, jnp.arange(k, dtype=jnp.int32), -1)
+            # Compact ids (0..n_valid-1): valid slots need not be a prefix,
+            # so slot-index ids would exceed next_id and collide with later
+            # fresh ids.
+            ids = jnp.where(valid,
+                            jnp.cumsum(valid.astype(jnp.int32)) - 1, -1)
             state.update({
-                "track_id": ids,
+                "track_id": ids.astype(jnp.int32),
                 "track_age": jnp.zeros(k, jnp.int32),
                 "next_id": jnp.asarray(jnp.sum(valid), jnp.int32),
             })
@@ -367,7 +396,14 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
                   scale_factor=cfg.orb_scale, ini_th=cfg.orb_ini_th,
                   min_th=cfg.orb_min_th, cell=cfg.cell,
                   k_per_cell=cfg.k_per_cell,
-                  dedup_radius=cfg.orb_dedup_radius)
+                  dedup_radius=cfg.orb_dedup_radius,
+                  upright=cfg.orb_upright)
+    match_kw = dict(feature_match_error=cfg.feature_match_error,
+                    dist_floor=cfg.orb_dist_floor,
+                    dist_ratio=cfg.orb_dist_ratio,
+                    max_level_diff=cfg.orb_max_level_diff,
+                    stereo_premask=cfg.orb_stereo_premask,
+                    max_disparity=cfg.orb_max_disparity)
 
     @jax.jit
     def init_fn(img_l, img_r, key):
@@ -375,12 +411,25 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
             img_l.astype(jnp.float32), img_r.astype(jnp.float32), **orb_kw)
         n_det = jnp.sum(fl["valid"])
         status = jnp.where(n_det >= cfg.min_features_detect, TRACKING_GOOD, INITING)
-        return {
+        state = {
             "feat_l": fl, "feat_r": fr,
             "T_wc": jnp.eye(4, dtype=jnp.float32),
             "T_21_prev": jnp.eye(4, dtype=jnp.float32), "key": key,
             "status": jnp.int32(status), "n_detected": n_det,
         }
+        if cfg.persistent_tracks:
+            k = cfg.max_features
+            # Compact ids: ORB's valid slots are scattered across per-level
+            # segments, so slot-index ids would exceed next_id and collide
+            # with later fresh ids.
+            v = fl["valid"]
+            ids = jnp.where(v, jnp.cumsum(v.astype(jnp.int32)) - 1, -1)
+            state.update({
+                "track_id": ids.astype(jnp.int32),
+                "track_age": jnp.zeros(k, jnp.int32),
+                "next_id": jnp.asarray(jnp.sum(v), jnp.int32),
+            })
+        return state
 
     @jax.jit
     def step_fn(state, img_l, img_r):
@@ -389,9 +438,8 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
 
         assoc = match.stereo_temporal_match(
             state["feat_l"], state["feat_r"], fl_cur,
-            feature_match_error=cfg.feature_match_error,
-            dist_floor=cfg.orb_dist_floor, dist_ratio=cfg.orb_dist_ratio,
-            use_mutual=cfg.orb_mutual)
+            use_mutual=cfg.orb_mutual,
+            temporal_radius=cfg.orb_temporal_radius, **match_kw)
 
         xy_l = state["feat_l"]["xy"]
         xy_r = state["feat_r"]["xy"][assoc["idx_r"]]
@@ -444,6 +492,53 @@ def make_orb_frontend(cfg: VOConfig, rig: StereoRig):
             "tracked_prev": xy_l, "tracked_cur": xy_cur,
             "tracked_valid": corr_valid,
         }
+        if not cfg.persistent_tracks:
+            return new_state, metrics
+
+        # Persistent tracks across the descriptor association (VERDICT r4
+        # next #4; the LK sibling lives at the end of make_lk_frontend's
+        # step). Identity flows along matches: cur-left slot j inherits the
+        # track id of the prev-left slot i whose temporal match landed on j
+        # (idx_t2l[i] == j). Everything is fixed-shape scatters/gathers.
+        k = cfg.max_features
+        surv = corr_valid  # prev slot survived the full association
+        # Scatter prev ids onto cur slots; on a collision (two prev slots
+        # matching the same cur feature) the OLDEST track (smallest id) wins.
+        prev_id = jnp.where(surv & (state["track_id"] >= 0),
+                            state["track_id"], jnp.int32(_ID_BIG))
+        cand = jnp.full((k,), _ID_BIG, jnp.int32).at[assoc["idx_t2l"]].min(prev_id)
+        inherited = (cand < _ID_BIG) & fl_cur["valid"]
+        # Age of the winning parent: ids are unique per frame, so a one-hot
+        # (k, k) lookup recovers the parent slot exactly.
+        eq = (state["track_id"][None, :] == cand[:, None]) & surv[None, :]
+        age_prev = jnp.max(jnp.where(eq, state["track_age"][None, :], -1), axis=1)
+        fresh = fl_cur["valid"] & ~inherited
+        fresh_ids = state["next_id"] + jnp.cumsum(fresh.astype(jnp.int32)) - 1
+        new_ids = jnp.where(inherited, cand,
+                            jnp.where(fresh, fresh_ids, -1)).astype(jnp.int32)
+        new_ages = jnp.where(inherited, age_prev + 1, 0).astype(jnp.int32)
+
+        # Current-pair stereo association -> per-slot depth (landmark init
+        # for the BA backend; the LK path gets this from its t2l/t2r legs).
+        cur_st = match.stereo_match(fl_cur, fr_cur, **match_kw)
+        xy_r_cur = fr_cur["xy"][cur_st["idx_r"]]
+        pts3d_cur, tri_cur_ok = tri(fl_cur["xy"], xy_r_cur)
+        stereo_ok = (cur_st["valid"] & tri_cur_ok &
+                     (pts3d_cur[:, 2] > cfg.z_min) &
+                     (pts3d_cur[:, 2] < cfg.z_max))
+
+        new_state.update({
+            "track_id": new_ids, "track_age": new_ages,
+            "next_id": (state["next_id"] +
+                        jnp.sum(fresh)).astype(jnp.int32),
+        })
+        metrics.update({
+            "track_id": new_ids, "track_xy": fl_cur["xy"],
+            "track_valid": fl_cur["valid"], "track_age": new_ages,
+            "pts3d_cur": pts3d_cur, "pts3d_cur_valid": stereo_ok,
+            "track_xy_r": xy_r_cur, "track_stereo_valid": stereo_ok,
+            "track_id_prev_slots": state["track_id"],
+        })
         return new_state, metrics
 
     return init_fn, step_fn

@@ -69,6 +69,43 @@ def reference_distance_gate(best: jax.Array, valid: jax.Array,
     return valid & (best.astype(jnp.float32) <= thr)
 
 
+def stereo_match(feat_l: dict, feat_r: dict,
+                 feature_match_error: float = 2.0,
+                 dist_floor: float = 30.0, dist_ratio: float = 2.0,
+                 max_level_diff: int | None = None,
+                 stereo_premask: bool = False,
+                 max_disparity: float = 128.0):
+    """Single left<->right association of one stereo pair.
+
+    The stereo half of ``stereo_temporal_match`` (same gates, same premask
+    options) as a standalone op — used by the persistent-track ORB frontend
+    to triangulate the CURRENT pair for landmark initialization (the LK
+    path gets this from its circular track's t2l/t2r legs).
+
+    Returns dict(idx_r (N,) int32, valid (N,) bool, dist (N,) int32).
+    """
+    d = hamming_matrix(feat_l["desc"], feat_r["desc"],
+                       feat_l["valid"], feat_r["valid"])
+    if max_level_diff is not None:
+        dl = jnp.abs(feat_l["level"][:, None] - feat_r["level"][None, :])
+        d = jnp.where(dl <= max_level_diff, d, _BIG)
+    if stereo_premask:
+        dy = jnp.abs(feat_l["xy"][:, None, 1] - feat_r["xy"][None, :, 1])
+        disp = feat_l["xy"][:, None, 0] - feat_r["xy"][None, :, 0]
+        feas = (dy < feature_match_error) & (disp > 0.0) & (disp <= max_disparity)
+        d = jnp.where(feas, d, _BIG)
+    idx_r, best = match_best(d)
+    v = feat_l["valid"] & (best < _BIG)
+    v = reference_distance_gate(best, v, dist_floor, dist_ratio)
+    y_l = feat_l["xy"][:, 1]
+    y_r = feat_r["xy"][idx_r, 1]
+    v = v & (jnp.abs(y_l - y_r) < feature_match_error)
+    x_l = feat_l["xy"][:, 0]
+    x_r = feat_r["xy"][idx_r, 0]
+    v = v & (x_l - x_r > 0.0)
+    return {"idx_r": idx_r, "valid": v, "dist": best}
+
+
 def stereo_temporal_match(feat_t1l: dict, feat_t1r: dict, feat_t2l: dict,
                           feature_match_error: float = 2.0,
                           dist_floor: float = 30.0, dist_ratio: float = 2.0,

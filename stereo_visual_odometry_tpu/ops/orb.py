@@ -241,11 +241,12 @@ def _level_budgets(n_features: int, levels: int, scale_factor: float) -> list[in
 
 
 @partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
-                                   "cell", "k_per_cell", "dedup_radius"))
+                                   "cell", "k_per_cell", "dedup_radius",
+                                   "upright"))
 def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
                         scale_factor: float = 1.2, ini_th: float = 20.0,
                         min_th: float = 7.0, cell: int = 32, k_per_cell: int = 8,
-                        dedup_radius: float = 0.0):
+                        dedup_radius: float = 0.0, upright: bool = False):
     """Full ORB extraction on one image.
 
     Operating point matches the reference defaults: 2000 features, 8 levels,
@@ -300,7 +301,12 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
         blur = pyramid.gaussian_blur(level_img)  # 7x7 sigma 2 (:1033-1035)
         patches = patch_pallas.extract_patches(blur, xy, DESC_PATCH)
         ang = ic_angle_from_patches(_ic_crop(patches))
-        desc = brief_from_patches(patches, ang)
+        # Upright BRIEF: describe with angle 0 (keep the measured angle in
+        # the output for diagnostics). Frame-to-frame stereo VO has near-zero
+        # in-plane rotation, so rotating the pattern by the NOISY IC angle
+        # only flips bits between views of the same corner.
+        desc = brief_from_patches(patches,
+                                  jnp.zeros_like(ang) if upright else ang)
 
         lvl_scale = scale_factor ** lvl
         outs.append({
@@ -324,12 +330,14 @@ def detect_and_describe(img: jax.Array, n_features: int = 2000, levels: int = 8,
 
 
 @partial(jax.jit, static_argnames=("n_features", "levels", "scale_factor",
-                                   "cell", "k_per_cell", "dedup_radius"))
+                                   "cell", "k_per_cell", "dedup_radius",
+                                   "upright"))
 def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
                              n_features: int = 2000, levels: int = 8,
                              scale_factor: float = 1.2, ini_th: float = 20.0,
                              min_th: float = 7.0, cell: int = 32,
-                             k_per_cell: int = 8, dedup_radius: float = 0.0):
+                             k_per_cell: int = 8, dedup_radius: float = 0.0,
+                             upright: bool = False):
     """ORB extraction on a stereo pair in ONE fused pass.
 
     Same per-image semantics as ``detect_and_describe``, but the dense
@@ -389,7 +397,8 @@ def detect_and_describe_pair(img_l: jax.Array, img_r: jax.Array,
             [patch_pallas.extract_patches(blur[0], xy2[0], DESC_PATCH),
              patch_pallas.extract_patches(blur[1], xy2[1], DESC_PATCH)], axis=0)
         ang = ic_angle_from_patches(_ic_crop(patches))
-        desc = brief_from_patches(patches, ang)
+        desc = brief_from_patches(patches,
+                                  jnp.zeros_like(ang) if upright else ang)
 
         lvl_scale = scale_factor ** lvl
         for side, outs in enumerate((outs_l, outs_r)):

@@ -1,23 +1,29 @@
-"""Distributed bundle adjustment: observation shards + ICI collective reduce.
+"""Distributed bundle adjustment: landmark-coherent shards + reduced-system
+ICI collectives.
 
 BASELINE.json config 5: keyframes/map blocks partitioned, Hessian reduction
 over ICI collectives. Design (scaling-book style): the observation table —
-the only O(M) object — is sharded over the ``ba`` mesh axis; every device
-assembles the normal-equation contributions of its shard with the *same*
-dense-block routine as single-chip BA (``models/ba.py``), then one ``psum``
-per pytree leaf reduces (Hpp, Hll, Hpl, bp, bl, cost) across the axis. The
-reduced camera system (6K x 6K, tiny) is solved redundantly on every device
-— replicated compute beats a gather/scatter round-trip at window sizes.
+the only O(M) object — is sharded over the ``ba`` mesh axis BY LANDMARK
+(``partition_obs_by_landmark``): every observation of a landmark lives on
+its owner device, so each device eliminates its own landmarks locally and
+the only cross-device state is the reduced camera system. Per LM iteration
+the psum carries S_part (K, K, 6, 6) + Hpp/bp + the landmark update
+(L, 3) — ~70 KB at the 16x2048 production window, vs ~2.4 MB when the raw
+normal-equation tree (dominated by the dense (K, L, 6, 3) ``Hpl``) is
+reduced instead (the r4 design; VERDICT r4 next #6 measured its weak
+scaling collapsing to 0.187@8). The reduced (6K x 6K) solve runs
+redundantly on every device — replicated compute beats a gather/scatter
+round-trip at window sizes.
 
 Full feature parity with the single-chip backend (VERDICT r3 weak #4): the
 shard body runs ``ba._solve_phases`` — the SAME code path ``bundle_adjust``
 uses — with a per-leaf psum plugged in as the reduction, so stereo
 residuals (``obs_right``/``T_rl``), the graduated-non-convexity schedule,
-and prune-and-repolish all behave identically; ``tests/test_parallel.py``
+and prune-and-repolish all behave identically; ``tests/test_ba.py``
 asserts single-chip ≡ distributed output on the same problem.
 
 This is the honest TPU equivalent of the "distributed Schur complement"
-(SURVEY.md §2): all communication is a few all-reduces of fixed-size blocks
+(SURVEY.md §2): all communication is a few all-reduces of pose-sized blocks
 per LM iteration, riding ICI inside a slice. The mesh may span processes —
 build it over global devices after ``parallel.multihost.initialize()`` and
 feed shards with ``multihost.host_local_array`` (DCN across hosts, same
@@ -27,6 +33,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -36,6 +43,54 @@ from ..models import ba
 from ..ops.camera import Pinhole
 
 
+def partition_obs_by_landmark(obs_kf, obs_lm, obs_uv, obs_w, n_shards: int,
+                              obs_right=None, cap: int | None = None,
+                              return_index: bool = False):
+    """Reorder an observation table into landmark-coherent equal shards.
+
+    Owner of landmark ``l`` is ``l % n_shards``; shard ``s`` occupies rows
+    ``[s*cap, (s+1)*cap)`` of the returned arrays, padded with zero-weight
+    rows. ``cap`` defaults to the largest owner group (rounded up so every
+    live observation is kept). Host-side numpy — this runs once per solve
+    on O(M) data, not per iteration.
+
+    Returns (obs_kf, obs_lm, obs_uv, obs_w[, obs_right]) with leading dim
+    ``n_shards * cap``, ready for ``make_distributed_ba``'s sharded args.
+    """
+    obs_kf = np.asarray(obs_kf)
+    obs_lm = np.asarray(obs_lm)
+    obs_uv = np.asarray(obs_uv)
+    obs_w = np.asarray(obs_w)
+    live = obs_w > 0
+    owner = obs_lm % n_shards
+    counts = np.bincount(owner[live], minlength=n_shards)
+    if cap is None:
+        cap = max(int(counts.max()), 1)
+    out_kf = np.zeros(n_shards * cap, np.int32)
+    out_lm = np.zeros(n_shards * cap, np.int32)
+    out_uv = np.zeros((n_shards * cap, 2), np.float32)
+    out_w = np.zeros(n_shards * cap, np.float32)
+    out_r = np.zeros(n_shards * cap, bool)
+    right = (np.zeros(obs_kf.shape[0], bool) if obs_right is None
+             else np.asarray(obs_right))
+    src = np.full(n_shards * cap, -1, np.int64)  # output row -> original row
+    for s in range(n_shards):
+        rows = np.nonzero(live & (owner == s))[0][:cap]
+        dst = slice(s * cap, s * cap + len(rows))
+        out_kf[dst] = obs_kf[rows]
+        out_lm[dst] = obs_lm[rows]
+        out_uv[dst] = obs_uv[rows]
+        out_w[dst] = obs_w[rows]
+        out_r[dst] = right[rows]
+        src[dst] = rows
+    out = [out_kf, out_lm, out_uv, out_w]
+    if obs_right is not None:
+        out.append(out_r)
+    if return_index:
+        out.append(src)
+    return tuple(out)
+
+
 def make_distributed_ba(cam: Pinhole, mesh: Mesh, n_kf: int, n_lm: int,
                         axis: str = "ba", n_iters: int = 10, n_fixed: int = 1,
                         huber_px: float = 2.0, gm_polish: bool = True,
@@ -43,15 +98,18 @@ def make_distributed_ba(cam: Pinhole, mesh: Mesh, n_kf: int, n_lm: int,
                         use_stereo: bool = False):
     """Build a jitted distributed BA solve.
 
-    Observation arrays must have leading dim divisible by the mesh axis size
-    (pad with zero-weight observations). With ``use_stereo`` the solve takes
-    ``obs_right`` (per-observation right-camera flags, sharded) and ``T_rl``
-    (replicated rig extrinsics) — the scale-gauge pin of ``models/ba.py``.
+    Observation arrays must be LANDMARK-COHERENT equal shards — run them
+    through ``partition_obs_by_landmark`` first (leading dim divisible by
+    the mesh axis size; all observations of a landmark inside one shard).
+    With ``use_stereo`` the solve takes ``obs_right`` (per-observation
+    right-camera flags, sharded) and ``T_rl`` (replicated rig extrinsics)
+    — the scale-gauge pin of ``models/ba.py``.
     """
 
-    def reduce_tree(eqs):
-        # ICI all-reduce of the fixed-size normal-equation blocks.
-        return jax.tree_util.tree_map(lambda v: jax.lax.psum(v, axis), eqs)
+    def reduce_tree(tree):
+        # ICI all-reduce (reduced camera system / landmark updates / cost
+        # scalars — pose-sized blocks only, never the dense Hpl).
+        return jax.tree_util.tree_map(lambda v: jax.lax.psum(v, axis), tree)
 
     def _shard_body(poses, points, obs_kf, obs_lm, obs_uv, obs_w,
                     obs_right, T_rl):
@@ -60,7 +118,7 @@ def make_distributed_ba(cam: Pinhole, mesh: Mesh, n_kf: int, n_lm: int,
             n_iters, n_fixed, huber_px, 1e-3, gm_polish, prune_px,
             obs_right=obs_right if use_stereo else None,
             T_rl=T_rl if use_stereo else None,
-            reduce_tree=reduce_tree)
+            reduce_tree=reduce_tree, schur_reduce=True)
         return p_f, x_f, cost0, cost_f, obs_w_f
 
     sharded = shard_map(

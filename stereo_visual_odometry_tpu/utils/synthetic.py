@@ -19,7 +19,9 @@ def smooth_trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0.004
                       ) -> np.ndarray:
     """(n_frames, 4, 4) world_from_camera poses: forward motion + gentle yaw.
 
-    Camera convention: +z forward, +x right, +y down (KITTI).
+    Camera convention: +z forward, +x right, +y down (KITTI). ``yaw_rate``
+    is the per-frame yaw amplitude (rad); raise it for yaw-heavy stress
+    sequences (VERDICT r4 next #7).
     """
     poses = [np.eye(4)]
     for i in range(1, n_frames):
@@ -88,25 +90,51 @@ def _splat(img: np.ndarray, uv: np.ndarray, z: np.ndarray, intens: np.ndarray,
 def render_sequence(n_frames: int = 30, h: int = 240, w: int = 320,
                     fx: float = 250.0, baseline: float = 0.54,
                     n_points: int = 3000, speed: float = 0.8,
-                    seed: int = 0):
+                    seed: int = 0, yaw_rate: float = 0.004,
+                    flicker: float = 0.0, dropout: float = 0.0,
+                    cloud_extent: tuple | None = None):
     """Render a synthetic rectified stereo sequence.
+
+    Stress knobs (VERDICT r4 next #7 — adversarial variants):
+      yaw_rate: per-frame yaw amplitude (rad); 0.004 = the default gentle
+        curve, ~0.02 = yaw-heavy (rotation-dominant optical flow).
+      flicker: photometric gain modulation amplitude; frame f is scaled by
+        1 + flicker*sin(1.3 f) with an additive offset — breaks brightness
+        constancy the way auto-exposure does.
+      dropout: fraction of the landmark cloud removed inside a moving
+        angular sector — large textureless regions sweep through the view.
+      cloud_extent: (x, y, z_max) landmark-cloud bounds; MUST cover the
+        trajectory (z_max > n_frames*speed + ~60) for long sequences or
+        the camera drives past the last landmarks and tracking starves.
+        None = the default (40, 8, 120), fine for <= ~60 frames.
 
     Returns dict(images_l, images_r: (n, h, w) float32 in [0, 255];
     poses_gt: (n, 4, 4) world_from_camera; rig_params for StereoRig).
     """
     cx, cy = w / 2.0, h / 2.0
-    poses = smooth_trajectory(n_frames, speed=speed)
-    pts_w, intens = make_cloud(n_points, seed=seed)
+    poses = smooth_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
+    if cloud_extent is not None:
+        pts_w, intens = make_cloud(n_points, extent=cloud_extent, seed=seed)
+    else:
+        pts_w, intens = make_cloud(n_points, seed=seed)
     radius = 6
     stamps = _make_stamps(n_points, radius, seed)
 
     imgs_l = np.zeros((n_frames, h, w), np.float32)
     imgs_r = np.zeros((n_frames, h, w), np.float32)
     ids = np.arange(n_points)
+    # Textureless sector: points whose world azimuth falls in a slowly
+    # rotating wedge are dropped for the whole run-through of the wedge.
+    az = np.arctan2(pts_w[:, 0], pts_w[:, 2])
     for f in range(n_frames):
         T_cw = np.linalg.inv(poses[f])
         pc = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]
         vis = pc[:, 2] > 0.5
+        if dropout > 0.0:
+            width_rad = dropout * np.pi  # wedge angular width
+            center = -np.pi / 2 + (f / max(n_frames - 1, 1)) * np.pi
+            in_wedge = np.abs(np.angle(np.exp(1j * (az - center)))) < width_rad / 2
+            vis &= ~in_wedge
         p = pc[vis]
         it = intens[vis]
         idx = ids[vis]
@@ -117,6 +145,11 @@ def render_sequence(n_frames: int = 30, h: int = 240, w: int = 320,
         right = np.full((h, w), 64.0, np.float32)
         _splat(left, ul, p[:, 2], it, stamps, idx, radius)
         _splat(right, ur, p[:, 2], it, stamps, idx, radius)
+        if flicker > 0.0:
+            gain = 1.0 + flicker * np.sin(1.3 * f)
+            offset = 8.0 * flicker * np.cos(0.7 * f)
+            left = left * gain + offset
+            right = right * gain + offset
         imgs_l[f] = np.clip(left, 0, 255)
         imgs_r[f] = np.clip(right, 0, 255)
 

@@ -127,16 +127,10 @@ def test_distributed_ba_matches_single_chip():
 
     cam, poses_gt, pts_gt, p0, x0, obs = make_ba_problem()
     obs_kf, obs_lm, obs_uv, obs_w = obs
-    # Pad observation table to a multiple of the mesh size with dead obs.
+    # Landmark-coherent equal shards (the make_distributed_ba contract).
     n_dev = len(jax.devices())
-    m = obs_kf.shape[0]
-    pad = (-m) % n_dev
-    pad_obs = (
-        jnp.concatenate([obs_kf, jnp.zeros(pad, jnp.int32)]),
-        jnp.concatenate([obs_lm, jnp.zeros(pad, jnp.int32)]),
-        jnp.concatenate([obs_uv, jnp.zeros((pad, 2), jnp.float32)]),
-        jnp.concatenate([obs_w, jnp.zeros(pad, jnp.float32)]),
-    )
+    pad_obs = tuple(jnp.asarray(a) for a in dist_ba.partition_obs_by_landmark(
+        obs_kf, obs_lm, obs_uv, obs_w, n_dev))
     mesh = make_mesh(axis="ba")
     solve = dist_ba.make_distributed_ba(cam, mesh, n_kf=p0.shape[0],
                                         n_lm=x0.shape[0], n_iters=15)
@@ -184,14 +178,12 @@ def test_distributed_ba_stereo_gnc_prune_matches_single_chip():
     obs_uv[idx] += rng.uniform(20, 60, size=(len(idx), 2)).astype(np.float32)
 
     n_dev = len(jax.devices())
-    pad = (-m) % n_dev
-    padded = (
-        jnp.asarray(np.concatenate([obs_kf, np.zeros(pad, np.int32)])),
-        jnp.asarray(np.concatenate([obs_lm, np.zeros(pad, np.int32)])),
-        jnp.asarray(np.concatenate([obs_uv, np.zeros((pad, 2), np.float32)])),
-        jnp.asarray(np.concatenate([obs_w, np.zeros(pad, np.float32)])),
-    )
-    obs_right_pad = jnp.asarray(np.concatenate([obs_right, np.zeros(pad, bool)]))
+    parts = dist_ba.partition_obs_by_landmark(obs_kf, obs_lm, obs_uv, obs_w,
+                                              n_dev, obs_right=obs_right,
+                                              return_index=True)
+    padded = tuple(jnp.asarray(a) for a in parts[:4])
+    obs_right_pad = jnp.asarray(parts[4])
+    src_index = parts[5]
 
     mesh = make_mesh(axis="ba")
     solve = dist_ba.make_distributed_ba(
@@ -208,8 +200,12 @@ def test_distributed_ba_stereo_gnc_prune_matches_single_chip():
                                np.asarray(out_s["poses"]), atol=1e-3)
     np.testing.assert_allclose(float(out_d["cost_final"]),
                                float(out_s["cost_final"]), rtol=1e-3)
-    # Same observations pruned on both paths.
-    np.testing.assert_array_equal(np.asarray(out_d["obs_w"])[:m] > 0,
-                                  np.asarray(out_s["obs_w"]) > 0)
+    # Same observations pruned on both paths (the partitioned table is a
+    # permutation of the original; map back through src_index).
+    w_d = np.asarray(out_d["obs_w"])
+    keep = src_index >= 0
+    w_d_orig = np.zeros(m, np.float32)
+    w_d_orig[src_index[keep]] = w_d[keep]
+    np.testing.assert_array_equal(w_d_orig > 0, np.asarray(out_s["obs_w"]) > 0)
     e1 = pose_errors(out_d["poses"], poses_gt)
     assert e1.mean() < 0.02, e1.mean()

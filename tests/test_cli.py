@@ -80,3 +80,79 @@ num_features_tracking: 8
     assert len(pngs) >= 2, pngs
     assert all(p.startswith("tracks_") and p.endswith(".png") for p in pngs)
     assert all(os.path.getsize(ovl / p) > 0 for p in pngs)
+
+
+LK_YAML = """%YAML:1.0
+camera1.fx: 300.0
+camera1.fy: 300.0
+camera1.cx: 128.0
+camera1.cy: 96.0
+t_lr0: -0.54
+track_mode: LK_stereof2f_pnp
+nFeatures: 256
+iterationsCount: 128
+inlier_rate: 0.3
+num_features_tracking: 8
+"""
+
+
+def test_cli_ba(tmp_path, capsys):
+    """--ba runs config 3 (sliding-window BA backend) from the command line
+    (VERDICT r4 next #8)."""
+    from stereo_visual_odometry_tpu import cli
+
+    root, gt_file, seq = make_kitti_dir(tmp_path, n_frames=10)
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text(LK_YAML)
+    out = tmp_path / "traj.txt"
+    rc = cli.main([str(yaml), "--dataset", str(root), "--ba",
+                   "--window", "4", "--kf-every", "2",
+                   "--out", str(out), "--gt", str(gt_file)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "ba:" in printed and "window solves" in printed
+    traj = trajectory.load_kitti(str(out))
+    assert traj.shape[0] == 10
+    ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
+    assert ate < 0.6, ate
+
+
+def test_cli_chunked(tmp_path, capsys):
+    """--chunked N runs the offline-throughput scan loop."""
+    from stereo_visual_odometry_tpu import cli
+
+    root, gt_file, seq = make_kitti_dir(tmp_path, n_frames=9)
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text(LK_YAML)
+    out = tmp_path / "traj.txt"
+    rc = cli.main([str(yaml), "--dataset", str(root), "--chunked", "4",
+                   "--out", str(out), "--gt", str(gt_file)])
+    assert rc == 0
+    assert "ATE=" in capsys.readouterr().out
+    traj = trajectory.load_kitti(str(out))
+    assert traj.shape[0] == 9
+    ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
+    assert ate < 0.5, ate
+
+
+def test_cli_batch(tmp_path, capsys):
+    """--batch runs config 4 (multi-sequence batched VO) with per-sequence
+    ATE."""
+    from stereo_visual_odometry_tpu import cli
+
+    root1, gt1, _ = make_kitti_dir(tmp_path, n_frames=6)
+    sub = tmp_path / "second"
+    sub.mkdir()
+    root2, gt2, _ = make_kitti_dir(sub, n_frames=6)
+    yaml = tmp_path / "cfg.yaml"
+    yaml.write_text(LK_YAML)
+    out = tmp_path / "btraj"
+    rc = cli.main([str(yaml), "--batch", str(root1), str(root2),
+                   "--batch-gt", str(gt1), str(gt2), "--out", str(out)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "sequences=2" in printed
+    assert printed.count("ATE=") == 2
+    for s in range(2):
+        traj = trajectory.load_kitti(f"{out}.{s:02d}")
+        assert traj.shape[0] == 6
