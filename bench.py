@@ -330,20 +330,24 @@ def run_tpu_ba() -> dict:
 
     out = {}
     solves = []
-    for label, bcfg in (("frontend_only", None),
-                        ("ba_marg", BackendConfig(window=6, kf_every=4))):
+    for label, bcfg in (
+            ("frontend_only", None),
+            ("ba_marg", BackendConfig(window=6, kf_every=4)),
+            ("ba_drop_oldest", BackendConfig(window=6, kf_every=4,
+                                             marginalize=False))):
         sys_ = System(run_cfg, backend_cfg=bcfg)
         traj = sys_.run(frames)
         ate = trajectory.ate_rmse(traj, seq["poses_gt"], align=False)
         out[f"ate_{label}_m"] = round(float(ate), 4)
-        if bcfg is not None:
+        if label == "ba_marg":
             solves = [m["ba"]["wall_s"] for m in sys_.metrics if "ba" in m]
     out["n_frames"] = len(frames)
     out["n_solves"] = len(solves)
     out["ms_per_solve"] = round(1e3 * float(np.mean(solves)), 1) if solves else None
     out["improved"] = bool(out["ate_ba_marg_m"] <= out["ate_frontend_only_m"])
     print(f"[bench] tpu ba: frontend ATE={out['ate_frontend_only_m']} vs "
-          f"BA+marg ATE={out['ate_ba_marg_m']} "
+          f"BA+marg {out['ate_ba_marg_m']} vs drop-oldest "
+          f"{out['ate_ba_drop_oldest_m']} "
           f"({out['n_solves']} solves, {out['ms_per_solve']} ms/solve)",
           file=sys.stderr)
     return out
@@ -437,7 +441,7 @@ def run_tpu_parity(il, ir) -> dict:
                     if n_both else float("nan"))
         per_kernel[kern] = {"median_px": round(flow_med, 6), "n": n_both}
         ok = ok and n_both >= 30 and flow_med < 0.05
-    # ORB descriptor stability on hardware: the bf16 MXU BRIEF contraction
+    # ORB descriptor stability on hardware: the MXU BRIEF contraction
     # vs an independent f64 numpy evaluation of the same patches (compact
     # version of tests_tpu/test_orb_tpu.py — VERDICT r4 next #5).
     from stereo_visual_odometry_tpu.ops import orb
@@ -450,17 +454,22 @@ def run_tpu_parity(il, ir) -> dict:
     D_np = np.asarray(orb._bin_diff_weights(), np.float64)
     bins = np.round(np.mod(np.asarray(ang, np.float64), 2 * np.pi)
                     / (2 * np.pi) * orb.N_ANGLE_BINS).astype(int) % orb.N_ANGLE_BINS
-    bits_ref = (np.einsum("np,nkp->nk", p_np, D_np[bins]) > 0)
-    ham = np.sum(bits_tpu[np.asarray(valid)] != bits_ref[np.asarray(valid)],
-                 axis=1)
-    orb_ham = float(ham.mean())
-    ok = ok and orb_ham < 2.0
+    diffs_ref = np.einsum("np,nkp->nk", p_np, D_np[bins])
+    bits_ref = diffs_ref > 0
+    vmask = np.asarray(valid)
+    ham = np.sum(bits_tpu[vmask] != bits_ref[vmask], axis=1)
+    orb_ham = float(np.median(ham))
+    # Meaningful bits (|pair difference| > 1 intensity unit) must be stable
+    # vs f64; zero-difference bits have no defined sign in any format.
+    meaningful = np.abs(diffs_ref[vmask]) > 1.0
+    flips = (bits_tpu[vmask] != bits_ref[vmask]) & meaningful
+    ok = ok and orb_ham == 0.0 and flips.sum() <= 1e-4 * meaningful.sum()
 
     res = {"ok": bool(ok), "patch_max_err_px": round(patch_err, 6),
            "lk_median_disagreement_px": per_kernel["dense"]["median_px"],
            "n_points_compared": per_kernel["dense"]["n"],
            "per_kernel": per_kernel,
-           "orb_brief_mean_hamming_vs_f64": round(orb_ham, 3)}
+           "orb_brief_median_hamming_vs_f64": round(orb_ham, 3)}
     print(f"[bench] tpu kernel parity: {res}", file=sys.stderr)
     return res
 

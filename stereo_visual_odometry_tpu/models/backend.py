@@ -116,20 +116,28 @@ class SlidingWindowBA:
         self._frames_since_kf = 0
 
     def _marginalize_oldest(self) -> None:
-        """Schur-marginalize keyframe 0 + the landmarks it observes into a
-        pose prior over the surviving window (models/marg.py).
+        """Schur-marginalize keyframe 0 + its DYING landmarks into a pose
+        prior over the surviving window (models/marg.py).
 
-        Consumed: every observation (any keyframe) of a landmark seen by
-        keyframe 0. Those landmarks leave the active map — their information
-        lives on in the prior; still-tracked features re-enter as fresh
-        landmarks at the next keyframe without double counting (the consumed
-        observations are removed here).
+        Only landmarks whose track has ended (observed by keyframe 0 but
+        not by the newest keyframe) are eliminated — their full observation
+        history is consumed and their information lives on in the prior.
+        Landmarks still being tracked stay LIVE in the map with their
+        remaining observations: freezing a live landmark into a linearized
+        prior blocks its future refinement and measured WORSE than
+        drop-oldest (r5 A/B, scripts/probe_ba_ab.py: marg 3.04 vs
+        drop-oldest 2.75 ATE when live landmarks were consumed); with the
+        dying-only policy the prior keeps what drop-oldest discards without
+        paying that price. This is the standard production-VIO scheme
+        (OKVIS/VINS lineage).
         """
         from . import marg
 
         Kp1 = len(self.kf_poses)              # window + 1 at slide time
         W = self.cfg.window
-        m_tids = [t for t in self.kf_obs[0] if t in self.landmarks]
+        live_now = set(self.kf_obs[-1])
+        m_tids = [t for t in self.kf_obs[0]
+                  if t in self.landmarks and t not in live_now]
         if not m_tids:
             return
         m_tids = m_tids[: self.cfg.max_landmarks]

@@ -163,7 +163,13 @@ def _detect_left(cfg: VOConfig, img_l: jax.Array):
     score = fast.detect(img_l, cfg.fast_threshold)
     xy, sc, valid = select.grid_top_k(score, cfg.max_features, cell=cfg.cell,
                                       k_per_cell=cfg.k_per_cell)
-    xy = select.subpixel_refine(score, xy, valid)
+    # Respect the configured backend: with lk_backend='xla' the whole step
+    # must lower without Pallas (the multi-chip dry run targets a virtual
+    # CPU mesh while a TPU plugin may own the default platform, so the
+    # platform-sniffing default would wrongly pick the Pallas path).
+    use_pallas = (None if cfg.lk_backend == "auto"
+                  else cfg.lk_backend == "pallas")
+    xy = select.subpixel_refine(score, xy, valid, use_pallas=use_pallas)
     return xy, sc, valid
 
 

@@ -166,7 +166,7 @@ def _bin_diff_weights() -> jax.Array:
     Each descriptor bit compares two sample values: bit_k = (s_{2k} <
     s_{2k+1}) = (flat . (W_{2k+1} - W_{2k}) > 0). Contracting against the
     difference matrix directly halves both the MXU work and the (N, B, .)
-    intermediate vs. computing all 512 sample values, and does one bf16
+    intermediate vs. computing all 512 sample values, and does one
     rounding instead of two before the comparison."""
     global _BIN_DIFF_NP
     if _BIN_DIFF_NP is None:
@@ -185,15 +185,18 @@ def brief_bits_from_patches(patches_blur: jax.Array, angle: jax.Array) -> jax.Ar
     two_pi = 2.0 * jnp.pi
     bins = jnp.round(jnp.mod(angle, two_pi) / two_pi * N_ANGLE_BINS)
     bins = jnp.mod(bins, N_ANGLE_BINS).astype(jnp.int32)
-    # All-bin pair differences via one batched bf16 MXU contraction (the
-    # descriptor only needs each difference's SIGN, so bf16 rounding is
-    # immaterial), then per-point bin selection. One big einsum beats 32
-    # per-bin matmuls by ~1.7x measured (the scan serializes; the MXU wants
-    # one large shape); contracting pair differences instead of raw samples
-    # halves the FLOPs and the (N, B, .) intermediate.
-    D16 = _bin_diff_weights().astype(jnp.bfloat16)
-    diffs_all = jnp.einsum("np,bkp->nbk", flat.astype(jnp.bfloat16), D16,
-                           preferred_element_type=jnp.float32)  # (N, B, 256)
+    # All-bin pair differences via one batched MXU contraction, then
+    # per-point bin selection. One big einsum beats 32 per-bin matmuls by
+    # ~1.7x measured (the scan serializes; the MXU wants one large shape);
+    # contracting pair differences instead of raw samples halves the FLOPs
+    # and the (N, B, .) intermediate. f32 HIGHEST, not bf16: the descriptor
+    # needs each difference's SIGN, and measured on v5e bf16 rounding flips
+    # a median of 3 bits per descriptor (up to ~70 on low-contrast patches
+    # — tests_tpu/test_orb_tpu.py); the whole ORB extract stage is
+    # 0.15 ms/frame, so buying exactness costs nothing that matters.
+    D = _bin_diff_weights()
+    diffs_all = jnp.einsum("np,bkp->nbk", flat, D,
+                           precision=jax.lax.Precision.HIGHEST)  # (N, B, 256)
     diffs = jnp.take_along_axis(
         diffs_all, bins[:, None, None], axis=1)[:, 0]  # (N, 256)
     return (diffs > 0).astype(jnp.uint32)

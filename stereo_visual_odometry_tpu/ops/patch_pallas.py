@@ -26,12 +26,29 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _row_block(rows_out: int, hp: int) -> int:
+    """Sublane extent for the aligned row block.
+
+    Mosaic's sublane dynamic rotate (``tpu.dynamic_rotate`` axis=0) is only
+    CORRECT for extents of 16 or multiples of 32 — 24/40/48/56 compile but
+    silently corrupt (measured on v5e, ``scripts/probe_roll.py``; this broke
+    the 39x39 ORB descriptor patches for every keypoint with row%8 != 0).
+    Need rows_out + 8 rows (roll remainder < 8, more when the row base
+    clamps at the image bottom — the extent bound still holds because
+    corners are clipped to rows_out inside the image).
+    """
+    need = rows_out + 8
+    R8 = 16 if need <= 16 else _ceil_to(need, 32)
+    assert hp >= R8, (hp, R8, rows_out)
+    return R8
+
+
 def _make_kernel(P: int, hp: int, wp: int):
     assert hp % 8 == 0 and (wp % 128 == 0 or wp < 256), (hp, wp)
     r = (P - 1) / 2.0  # patch center offset (float; P may be even)
 
     def aligned_slice(ref, row_i, col_i, rows_out, cols_out):
-        R8 = min(_ceil_to(rows_out, 8) + 8, hp)
+        R8 = _row_block(rows_out, hp)
         row8 = pl.multiple_of(jnp.minimum((row_i // 8) * 8, hp - R8), 8)
         rrem = row_i - row8
         if wp < 256:
@@ -73,7 +90,7 @@ def _make_kernel_int(S: int, hp: int, wp: int):
     assert hp % 8 == 0 and (wp % 128 == 0 or wp < 256), (hp, wp)
 
     def aligned_slice(ref, row_i, col_i, rows_out, cols_out):
-        R8 = min(_ceil_to(rows_out, 8) + 8, hp)
+        R8 = _row_block(rows_out, hp)
         row8 = pl.multiple_of(jnp.minimum((row_i // 8) * 8, hp - R8), 8)
         rrem = row_i - row8
         if wp < 256:

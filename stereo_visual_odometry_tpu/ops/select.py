@@ -115,7 +115,9 @@ def subpixel_refine(score: jax.Array, xy: jax.Array, valid: jax.Array,
 
         n = xy.shape[0]
         eh = (-h) % 8
-        ew = (-w) % 128 if w >= 256 else 0
+        # Lane dim must be a 128-multiple: Mosaic's dynamic rotate rejects
+        # narrower vectors ("unsupported unaligned shape" on a 64-wide map).
+        ew = (-w) % 128
         sp_map = jnp.pad(score, ((0, eh), (0, ew))) if (eh or ew) else score
         n_pad = (-n) % patch_pallas.BLK
         corners = jnp.stack([yi - 1, xi - 1], axis=-1)
