@@ -57,6 +57,7 @@ class SlidingWindowBA:
         self.landmarks: dict[int, np.ndarray] = {}     # track_id -> world xyz
         self.frame_of_kf: list[int] = []
         self._frames_since_kf = 10 ** 9
+        self._last_kf_n_tracked = 0
         # Marginalization prior over the current window's pose slots
         # (None until the first slide). Numpy pytree of marg.empty_prior
         # shape with capacity cfg.window.
@@ -65,14 +66,23 @@ class SlidingWindowBA:
     # ------------------------------------------------------------------ #
 
     def should_add_keyframe(self, frame_idx: int, n_tracked: int) -> bool:
+        # Cadence OR track-loss. The loss gate compares like-for-like: the
+        # frontend's n_tracked now vs n_tracked when the last keyframe was
+        # made (r4 compared n_tracked against the obs-DICT size — all valid
+        # slots including fresh detections — which fired a keyframe nearly
+        # every frame: 85 solves over the 120-frame bench leg).
+        if not self.kf_obs:
+            return True
         return (self._frames_since_kf >= self.cfg.kf_every or
-                n_tracked < 0.5 * max(len(self.kf_obs[-1]), 1) if self.kf_obs
-                else True)
+                n_tracked < 0.5 * max(self._last_kf_n_tracked, 1))
 
     def add_keyframe(self, frame_idx: int, T_wc: np.ndarray, track_id,
                      track_xy, track_valid, pts3d_cur, pts3d_valid,
-                     track_xy_r=None, track_stereo_valid=None) -> None:
+                     track_xy_r=None, track_stereo_valid=None,
+                     n_tracked: int | None = None) -> None:
         """Record a keyframe from frontend per-frame metrics arrays."""
+        self._last_kf_n_tracked = (int(np.sum(np.asarray(track_valid)))
+                                   if n_tracked is None else int(n_tracked))
         track_id = np.asarray(track_id)
         track_xy = np.asarray(track_xy)
         track_valid = np.asarray(track_valid)
@@ -264,13 +274,18 @@ class SlidingWindowBA:
             poses_cw = np.concatenate(
                 [poses_cw, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
 
+        # The carried marginalization prior joins the solve as a quadratic
+        # over the window pose slots (slot indexing matches kf_poses; the
+        # prior was truncated to window capacity at build time).
+        prior = (None if self.prior is None else
+                 jax.tree_util.tree_map(jnp.asarray, self.prior))
         out = ba.bundle_adjust(
             self.cam, jnp.asarray(poses_cw), jnp.asarray(points),
             jnp.asarray(obs_kf), jnp.asarray(obs_lm), jnp.asarray(obs_uv),
             jnp.asarray(obs_w), n_iters=cfg.ba_iters, n_fixed=1,
             huber_px=cfg.huber_px, prune_px=4 * cfg.huber_px,
             obs_right=jnp.asarray(obs_right),
-            T_rl=jnp.asarray(self.T_rl, jnp.float32))
+            T_rl=jnp.asarray(self.T_rl, jnp.float32), prior=prior)
 
         new_cw = np.asarray(out["poses"], np.float64)[:K]
         new_points = np.asarray(out["points"])

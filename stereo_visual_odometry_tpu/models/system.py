@@ -113,7 +113,8 @@ class System:
                     self.frame_idx, T_wc, m["track_id"], m["track_xy"],
                     m["track_valid"], m["pts3d_cur"], m["pts3d_cur_valid"],
                     track_xy_r=m["track_xy_r"],
-                    track_stereo_valid=m["track_stereo_valid"])
+                    track_stereo_valid=m["track_stereo_valid"],
+                    n_tracked=int(m["n_tracked"]))
                 res = self.backend.optimize()
                 if res is not None:
                     # Propagate the refined latest-keyframe correction to the

@@ -174,6 +174,41 @@ def test_ba_improves_drifty_trajectory():
     assert ate_ba < 0.97 * ate_fe, (ate_ba, ate_fe)
 
 
+def test_optimize_applies_marginalization_prior():
+    """Wiring regression (r5): the carried prior must actually enter the
+    window solve. The r4 code built/shifted the prior but never passed it
+    to ``ba.bundle_adjust`` — marginalize=True then only CONSUMED the dying
+    landmarks' observations, strictly worse than drop-oldest (the on-chip
+    BA bench leg measured exactly that: marg 0.41 vs drop-oldest 0.15 ATE).
+    """
+    import copy
+
+    seq, cam, rig, cfg = _setup(n_frames=10)
+    rp = seq["rig"]
+    run_cfg = RunConfig(camera=CameraConfig(fx=rp["fx"], fy=rp["fy"],
+                                            cx=rp["cx"], cy=rp["cy"],
+                                            baseline=rp["baseline"]),
+                        vo=cfg)
+    bcfg = BackendConfig(window=3, kf_every=1, max_landmarks=256,
+                         max_obs=2048, ba_iters=6)
+    sys_ = System(run_cfg, backend_cfg=bcfg)
+    sys_.run(list(zip(seq["images_l"], seq["images_r"])))
+    be = sys_.backend
+    assert be.prior is not None
+    assert np.abs(be.prior["H"]).max() > 0.0
+
+    with_prior = copy.deepcopy(be)
+    without = copy.deepcopy(be)
+    without.prior = None
+    out_with = with_prior.optimize()
+    out_without = without.optimize()
+    assert out_with is not None and out_without is not None
+    # The prior changes the solution: corrected window poses differ.
+    d = max(np.abs(a - b).max() for a, b in
+            zip(with_prior.kf_poses, without.kf_poses))
+    assert d > 1e-7, d
+
+
 def test_sliding_window_ba_backend():
     seq, cam, rig, cfg = _setup(n_frames=12)
     rp = seq["rig"]
