@@ -149,7 +149,8 @@ def main():
             pc_r = tuple(pyramid.build_pyramid(xs[1], 4))
             quad = lk.circular_track((pl_, pr_, pc_r, pc_l), kp, valid,
                                      win=21, levels=3, iters=30,
-                                     use_pallas=True, rig=rig, T_pred=Tpred,
+                                     use_pallas=True, pallas_kernel="dense",
+                                     rig=rig, T_pred=Tpred,
                                      use_sweep=True, sweep_d_max=48,
                                      stereo_levels=1, temporal_levels=2)
             return (pc_l, pc_r), quad["t2l"][0, 0]

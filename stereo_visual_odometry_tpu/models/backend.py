@@ -37,6 +37,27 @@ class BackendConfig:
     # Schur-marginalize sliding keyframes into a pose prior instead of
     # dropping their information (models/marg.py; SURVEY §7 step 5).
     marginalize: bool = True
+    # Exponential forgetting on the CARRIED prior at each slide. A
+    # first-order prior is linearized at slide-time poses and never
+    # re-linearized; chaining it undecayed accumulates stale-linearization
+    # bias over long sequences (200-frame probe: undecayed marg ATE 4.81 vs
+    # drop-oldest 2.84). Decay bounds the staleness horizon (sum of
+    # gamma^k) while keeping the most recent windows' marginalized
+    # information — the standard sliding-window forgetting compromise.
+    prior_decay: float = 0.5
+    # Which landmarks to consume at a slide (scripts/probe_prior_decay.py):
+    #   "dying":           every landmark whose track ended. Frees window
+    #                      capacity for younger landmarks — wins when the
+    #                      feature budget exceeds max_landmarks (shipping
+    #                      1024-feature config: bench BA leg marg 0.17 vs
+    #                      drop-oldest 0.30 ATE).
+    #   "underconstrained": only dying landmarks with <= 1 other observing
+    #                      keyframe (what drop-oldest would discard
+    #                      outright). Never consumes live constraints —
+    #                      matches drop-oldest when capacity is ample
+    #                      (200-frame probe: 2.84 == drop-oldest vs 3.9
+    #                      for "dying").
+    marg_policy: str = "dying"
 
 
 class SlidingWindowBA:
@@ -135,19 +156,34 @@ class SlidingWindowBA:
         Landmarks still being tracked stay LIVE in the map with their
         remaining observations: freezing a live landmark into a linearized
         prior blocks its future refinement and measured WORSE than
-        drop-oldest (r5 A/B, scripts/probe_ba_ab.py: marg 3.04 vs
-        drop-oldest 2.75 ATE when live landmarks were consumed); with the
-        dying-only policy the prior keeps what drop-oldest discards without
-        paying that price. This is the standard production-VIO scheme
-        (OKVIS/VINS lineage).
+        drop-oldest (r5 A/B, scripts/probe_ba_ab.py, when live landmarks
+        were consumed); with the dying-only policy the prior keeps what
+        drop-oldest discards without paying that price. The carried prior
+        is decayed by ``cfg.prior_decay`` per slide (exponential
+        forgetting) to bound stale-linearization bias over long chains —
+        see BackendConfig and scripts/probe_prior_decay.py. This is the
+        standard production-VIO scheme (OKVIS/VINS lineage).
         """
         from . import marg
 
         Kp1 = len(self.kf_poses)              # window + 1 at slide time
         W = self.cfg.window
         live_now = set(self.kf_obs[-1])
-        m_tids = [t for t in self.kf_obs[0]
-                  if t in self.landmarks and t not in live_now]
+        # Landmark consumption set per cfg.marg_policy (see BackendConfig:
+        # the capacity/constraint trade is measured in
+        # scripts/probe_prior_decay.py).
+        if self.cfg.marg_policy == "dying":
+            m_tids = [t for t in self.kf_obs[0]
+                      if t in self.landmarks and t not in live_now]
+        else:  # "underconstrained"
+            n_other = {t: 0 for t in self.kf_obs[0]}
+            for o in self.kf_obs[1:]:
+                for t in o:
+                    if t in n_other:
+                        n_other[t] += 1
+            m_tids = [t for t in self.kf_obs[0]
+                      if t in self.landmarks and t not in live_now
+                      and n_other[t] <= 1]
         if not m_tids:
             return
         m_tids = m_tids[: self.cfg.max_landmarks]
@@ -188,9 +224,10 @@ class SlidingWindowBA:
             H_s, b_s = marg.shift_prior(
                 jax.tree_util.tree_map(jnp.asarray, self.prior),
                 jnp.asarray(poses_cw[:W]))
+            g = self.cfg.prior_decay
             carry_H = jnp.zeros((Kp1, Kp1, 6, 6), jnp.float32
-                                ).at[:W, :W].set(H_s)
-            carry_b = jnp.zeros((Kp1, 6), jnp.float32).at[:W].set(b_s)
+                                ).at[:W, :W].set(g * H_s)
+            carry_b = jnp.zeros((Kp1, 6), jnp.float32).at[:W].set(g * b_s)
 
         prior = marg.build_prior(
             self.cam, jnp.asarray(poses_cw), jnp.asarray(points),

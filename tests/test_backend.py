@@ -141,8 +141,10 @@ def test_orb_backend_integration():
 def test_ba_improves_drifty_trajectory():
     """The done-criterion test (VERDICT r4 next #3): on a drift-inducing
     sequence the BA backend must IMPROVE the trajectory, not merely not
-    wreck it. Calibrated from scripts/probe_ba_ab.py (200 frames: frontend
-    4.36 -> BA+marg 2.23, 49% better; marg also beats drop-oldest there).
+    wreck it. Landscape measured in scripts/probe_prior_decay.py (200
+    frames: frontend 4.36, BA+marg(shipping) 3.91, drop-oldest 2.84) and
+    the on-chip bench BA leg (frontend 0.198, BA+marg 0.190, drop-oldest
+    0.304) — policy trade documented in PERF.md.
     """
     N, h, w = 100, 256, 320
     seq = synthetic.render_sequence(n_frames=N, h=h, w=w, fx=300.0,
